@@ -1,0 +1,277 @@
+"""Functional JAX building blocks shared by the talker and code predictor.
+
+Design notes (TPU-first):
+- Pure functions over parameter pytrees; no module state. `jax.jit` of a
+  fixed-shape decode step plays the role the reference's CUDA-graph capture
+  plays on GPU (reference talker_graph.py:109-147): trace once, replay as a
+  cached executable.
+- Per-layer parameters are STACKED along a leading layer axis and the layer
+  loop is a `lax.scan`. This keeps compile time O(1) in depth and lets XLA
+  pipeline HBM weight streaming with MXU compute.
+- All matmuls request float32 accumulation (`preferred_element_type`) and then
+  cast back to the activation dtype, matching MXU-native bf16xbf16->f32.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import decode_attention, prefill_attention
+
+
+class KVCache(NamedTuple):
+    """Static-shape KV cache for one transformer stack.
+
+    k, v: [num_layers, batch, max_seq, num_kv_heads, head_dim]
+
+    The TPU-native equivalent of `transformers.StaticCache`
+    (reference talker_graph.py:43): preallocated, updated in place with
+    `lax.dynamic_update_slice` inside the jitted step, donated across steps.
+    """
+
+    k: jax.Array
+    v: jax.Array
+
+    @classmethod
+    def zeros(cls, num_layers, batch, max_seq, num_kv_heads, head_dim, dtype=jnp.bfloat16):
+        shape = (num_layers, batch, max_seq, num_kv_heads, head_dim)
+        return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+    @property
+    def max_seq(self) -> int:
+        return self.k.shape[2]
+
+
+def rms_norm(w: jax.Array, x: jax.Array, eps: float) -> jax.Array:
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    y = xf * jax.lax.rsqrt(var + eps)
+    return (w.astype(jnp.float32) * y).astype(dtype)
+
+
+def _dot(x: jax.Array, w: jax.Array) -> jax.Array:
+    """x @ w with f32 accumulation, result in x.dtype."""
+    return jax.lax.dot_general(
+        x, w, (((x.ndim - 1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+
+
+def rope_cos_sin(positions: jax.Array, head_dim: int, theta: float) -> Tuple[jax.Array, jax.Array]:
+    """positions [..., S] -> cos/sin [..., S, head_dim] (HF 'cat' layout)."""
+    half = head_dim // 2
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, half, dtype=jnp.float32) / half))
+    freqs = positions.astype(jnp.float32)[..., None] * inv_freq  # [..., S, half]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def _rotate_half(x: jax.Array) -> jax.Array:
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    return jnp.concatenate([-x2, x1], axis=-1)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x: [B, S, H, D]; cos/sin: [B, S, D] (broadcast over heads)."""
+    c = cos[:, :, None, :].astype(jnp.float32)
+    s = sin[:, :, None, :].astype(jnp.float32)
+    xf = x.astype(jnp.float32)
+    return (xf * c + _rotate_half(xf) * s).astype(x.dtype)
+
+
+@dataclasses.dataclass(frozen=True)
+class LayerShape:
+    """Static attention geometry for one decoder stack."""
+
+    num_heads: int
+    num_kv_heads: int
+    head_dim: int
+    rms_eps: float
+    sliding_window: Optional[int] = None
+
+
+def _qkv(lp, x, shape: LayerShape):
+    B, S, _ = x.shape
+    q = _dot(x, lp["wq"]).reshape(B, S, shape.num_heads, shape.head_dim)
+    k = _dot(x, lp["wk"]).reshape(B, S, shape.num_kv_heads, shape.head_dim)
+    v = _dot(x, lp["wv"]).reshape(B, S, shape.num_kv_heads, shape.head_dim)
+    # Qwen3-style per-head-dim q/k RMSNorm.
+    q = rms_norm(lp["q_norm"], q, shape.rms_eps)
+    k = rms_norm(lp["k_norm"], k, shape.rms_eps)
+    return q, k, v
+
+
+def _mlp(lp, x):
+    gate = _dot(x, lp["w_gate"])
+    up = _dot(x, lp["w_up"])
+    return _dot(jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up, lp["w_down"])
+
+
+def layer_prefill(
+    lp,
+    x: jax.Array,
+    cos: jax.Array,
+    sin: jax.Array,
+    pad_mask: jax.Array,
+    shape: LayerShape,
+) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
+    """One decoder layer over a full (padded) sequence.
+
+    x: [B, S, H]; pad_mask: [B, S] (1 = valid). Returns (y, (k, v)) with
+    k/v: [B, S, kv_heads, head_dim] for cache insertion.
+    """
+    h = rms_norm(lp["ln1"], x, shape.rms_eps)
+    q, k, v = _qkv(lp, h, shape)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    attn = prefill_attention(q, k, v, pad_mask, sliding_window=shape.sliding_window)
+    B, S, _, _ = attn.shape
+    attn = _dot(attn.reshape(B, S, -1), lp["wo"])
+    x = x + attn
+    h = rms_norm(lp["ln2"], x, shape.rms_eps)
+    x = x + _mlp(lp, h)
+    return x, (k, v)
+
+
+def layer_decode(
+    lp,
+    x: jax.Array,
+    cos: jax.Array,
+    sin: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    pos: jax.Array,
+    length_mask: jax.Array,
+    shape: LayerShape,
+) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
+    """One decoder layer for a single-token decode step with static KV cache.
+
+    x: [B, 1, H]; k_cache/v_cache: [B, S_max, kv, hd]; pos: [B] int32 write
+    position; length_mask: [B, S_max] (1 = attendable). Returns the layer
+    output and the UPDATED caches.
+    """
+    h = rms_norm(lp["ln1"], x, shape.rms_eps)
+    q, k, v = _qkv(lp, h, shape)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    # In-place cache write at `pos` (per batch element).
+    def write(cache, new):
+        def one(c, n, p):
+            return jax.lax.dynamic_update_slice(c, n, (p, 0, 0))
+
+        return jax.vmap(one)(cache, new, pos)
+
+    k_cache = write(k_cache, k)
+    v_cache = write(v_cache, v)
+
+    attn = decode_attention(q, k_cache, v_cache, length_mask)
+    B = attn.shape[0]
+    attn = _dot(attn.reshape(B, 1, -1), lp["wo"])
+    x = x + attn
+    h = rms_norm(lp["ln2"], x, shape.rms_eps)
+    x = x + _mlp(lp, h)
+    return x, (k_cache, v_cache)
+
+
+def stack_prefill(
+    stacked_params,
+    x: jax.Array,
+    positions: jax.Array,
+    pad_mask: jax.Array,
+    shape: LayerShape,
+    rope_theta: float,
+    final_norm: jax.Array,
+) -> Tuple[jax.Array, KVCache]:
+    """Run a full decoder stack over a padded sequence via lax.scan on layers.
+
+    positions: [B, S] rope positions (already offset for left padding).
+    Returns (normed hidden states [B, S, H], KVCache with seq dim = S).
+    """
+    cos, sin = rope_cos_sin(positions, shape.head_dim, rope_theta)
+
+    def body(carry, lp):
+        h = carry
+        h, (k, v) = layer_prefill(lp, h, cos, sin, pad_mask, shape)
+        return h, (k, v)
+
+    h, (ks, vs) = jax.lax.scan(body, x, stacked_params)
+    h = rms_norm(final_norm, h, shape.rms_eps)
+    return h, KVCache(k=ks, v=vs)
+
+
+def stack_decode(
+    stacked_params,
+    x: jax.Array,
+    pos: jax.Array,
+    rope_pos: jax.Array,
+    cache: KVCache,
+    length_mask: jax.Array,
+    shape: LayerShape,
+    rope_theta: float,
+    final_norm: jax.Array,
+) -> Tuple[jax.Array, KVCache]:
+    """Single-token decode through the whole stack (the TalkerGraph.run analog,
+    reference talker_graph.py:198-214).
+
+    x: [B, 1, H]; pos: [B] cache write position; rope_pos: [B] rope position
+    (pos + rope_delta, reference talker_graph.py:209-211); length_mask: [B, S_max].
+    """
+    cos, sin = rope_cos_sin(rope_pos[:, None], shape.head_dim, rope_theta)
+
+    def body(carry, inputs):
+        h = carry
+        lp, k_cache, v_cache = inputs
+        h, (k_cache, v_cache) = layer_decode(
+            lp, h, cos, sin, k_cache, v_cache, pos, length_mask, shape
+        )
+        return h, (k_cache, v_cache)
+
+    h, (ks, vs) = jax.lax.scan(body, x, (stacked_params, cache.k, cache.v))
+    h = rms_norm(final_norm, h, shape.rms_eps)
+    return h, KVCache(k=ks, v=vs)
+
+
+# ---------------------------------------------------------------------------
+# Parameter initialization
+# ---------------------------------------------------------------------------
+
+
+def init_stacked_layers(
+    key: jax.Array,
+    num_layers: int,
+    hidden: int,
+    q_dim: int,
+    kv_dim: int,
+    head_dim: int,
+    intermediate: int,
+    dtype=jnp.bfloat16,
+):
+    """Random-init stacked decoder-layer params (testing / benchmarking when
+    no checkpoint is available; real weights come from weights.load_pretrained)."""
+    k = jax.random.split(key, 8)
+    s = lambda *shape: (num_layers,) + shape
+
+    def init(kk, *shape, scale=None):
+        fan_in = shape[-2] if len(shape) >= 2 else shape[-1]
+        scale = scale if scale is not None else fan_in**-0.5
+        return (jax.random.normal(kk, s(*shape), jnp.float32) * scale).astype(dtype)
+
+    return {
+        "wq": init(k[0], hidden, q_dim),
+        "wk": init(k[1], hidden, kv_dim),
+        "wv": init(k[2], hidden, kv_dim),
+        "wo": init(k[3], q_dim, hidden),
+        "w_gate": init(k[4], hidden, intermediate),
+        "w_up": init(k[5], hidden, intermediate),
+        "w_down": init(k[6], intermediate, hidden),
+        "q_norm": jnp.ones(s(head_dim), dtype),
+        "k_norm": jnp.ones(s(head_dim), dtype),
+        "ln1": jnp.ones(s(hidden), dtype),
+        "ln2": jnp.ones(s(hidden), dtype),
+    }

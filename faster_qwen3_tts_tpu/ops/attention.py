@@ -1,0 +1,106 @@
+"""Attention ops: XLA reference paths + (optionally) Pallas fused decode kernel.
+
+The decode path is the hot op of the whole engine: one query token against a
+static KV cache, 28x per talker frame + 5x15 per predictor frame (reference
+per-step budget: README.md:477-484). On TPU we implement it two ways:
+
+- `decode_attention_xla`: pure-XLA masked softmax over the full static cache.
+  Always correct, runs anywhere (CPU tests), and is already memory-bound-fast
+  because XLA fuses the mask/softmax into the matmuls.
+- `decode_attention_pallas` (ops/decode_attn_pallas.py): a fused Pallas kernel
+  that reads only the live prefix of the cache (length-aware block skipping),
+  the TPU-native analog of the reference's CUDA-graphed fused decode step.
+
+`decode_attention` dispatches based on availability/flags.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = -1e30  # large finite negative; avoids NaNs from (-inf) - (-inf)
+
+
+def _gqa_scores(q: jax.Array, k: jax.Array) -> jax.Array:
+    """q: [B, Sq, Hq, D], k: [B, Sk, Hkv, D] -> scores [B, Hq, Sq, Sk] (f32)."""
+    B, Sq, Hq, D = q.shape
+    Hkv = k.shape[2]
+    group = Hq // Hkv
+    qg = q.reshape(B, Sq, Hkv, group, D)
+    scores = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k, preferred_element_type=jnp.float32)
+    return scores.reshape(B, Hq, Sq, k.shape[1]) * (D**-0.5)
+
+
+def _gqa_out(probs: jax.Array, v: jax.Array) -> jax.Array:
+    """probs: [B, Hq, Sq, Sk] f32, v: [B, Sk, Hkv, D] -> [B, Sq, Hq, D]."""
+    B, Hq, Sq, Sk = probs.shape
+    Hkv = v.shape[2]
+    group = Hq // Hkv
+    pg = probs.reshape(B, Hkv, group, Sq, Sk)
+    out = jnp.einsum("bhgqk,bkhd->bqhgd", pg, v.astype(jnp.float32))
+    return out.reshape(B, Sq, Hq, v.shape[3])
+
+
+def prefill_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    pad_mask: jax.Array,
+    sliding_window: Optional[int] = None,
+) -> jax.Array:
+    """Causal self-attention over a left-padded sequence.
+
+    q/k/v: [B, S, H(q|kv), D]; pad_mask: [B, S] with 1 = real token.
+    Returns [B, S, Hq, D] in q.dtype.
+    """
+    B, S = q.shape[0], q.shape[1]
+    scores = _gqa_scores(q, k)  # [B, Hq, S, S]
+    qpos = jnp.arange(S)[:, None]
+    kpos = jnp.arange(S)[None, :]
+    allowed = kpos <= qpos
+    if sliding_window is not None:
+        allowed &= kpos > (qpos - sliding_window)
+    mask = allowed[None, None, :, :] & (pad_mask[:, None, None, :] > 0)
+    scores = jnp.where(mask, scores, _NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = _gqa_out(probs, v)
+    return out.astype(q.dtype)
+
+
+def decode_attention_xla(
+    q: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    length_mask: jax.Array,
+) -> jax.Array:
+    """Single-token attention against the full static cache.
+
+    q: [B, 1, Hq, D]; k_cache/v_cache: [B, S_max, Hkv, D];
+    length_mask: [B, S_max] with 1 = attendable (covers the causal boundary:
+    positions > current and left-pad positions are 0). Returns [B, 1, Hq, D].
+    """
+    scores = _gqa_scores(q, k_cache)  # [B, Hq, 1, S_max]
+    scores = jnp.where(length_mask[:, None, None, :] > 0, scores, _NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = _gqa_out(probs, v_cache)
+    return out.astype(q.dtype)
+
+
+def _use_pallas() -> bool:
+    if os.environ.get("FQ3T_DISABLE_PALLAS"):
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def decode_attention(q, k_cache, v_cache, length_mask):
+    if _use_pallas():
+        try:
+            from .decode_attn_pallas import decode_attention_pallas
+
+            return decode_attention_pallas(q, k_cache, v_cache, length_mask)
+        except Exception:  # pragma: no cover - fallback safety
+            pass
+    return decode_attention_xla(q, k_cache, v_cache, length_mask)
