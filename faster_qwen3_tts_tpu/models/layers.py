@@ -243,7 +243,7 @@ def stack_decode(
 
 
 def init_stacked_layers(
-    key: jax.Array,
+    seed: int,
     num_layers: int,
     hidden: int,
     q_dim: int,
@@ -253,25 +253,34 @@ def init_stacked_layers(
     dtype=jnp.bfloat16,
 ):
     """Random-init stacked decoder-layer params (testing / benchmarking when
-    no checkpoint is available; real weights come from weights.load_pretrained)."""
-    k = jax.random.split(key, 8)
+    no checkpoint is available; real weights come from weights.load_pretrained).
+
+    Uses host-side numpy RNG: param init must not trigger per-shape XLA
+    compiles (eager jax op dispatch is expensive in this environment).
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
     s = lambda *shape: (num_layers,) + shape
 
-    def init(kk, *shape, scale=None):
+    def init(*shape, scale=None):
         fan_in = shape[-2] if len(shape) >= 2 else shape[-1]
         scale = scale if scale is not None else fan_in**-0.5
-        return (jax.random.normal(kk, s(*shape), jnp.float32) * scale).astype(dtype)
+        return jnp.asarray(
+            rng.standard_normal(s(*shape), dtype=np.float32) * scale, dtype=dtype
+        )
 
+    ones = lambda *shape: jnp.asarray(np.ones(s(*shape), np.float32), dtype=dtype)
     return {
-        "wq": init(k[0], hidden, q_dim),
-        "wk": init(k[1], hidden, kv_dim),
-        "wv": init(k[2], hidden, kv_dim),
-        "wo": init(k[3], q_dim, hidden),
-        "w_gate": init(k[4], hidden, intermediate),
-        "w_up": init(k[5], hidden, intermediate),
-        "w_down": init(k[6], intermediate, hidden),
-        "q_norm": jnp.ones(s(head_dim), dtype),
-        "k_norm": jnp.ones(s(head_dim), dtype),
-        "ln1": jnp.ones(s(hidden), dtype),
-        "ln2": jnp.ones(s(hidden), dtype),
+        "wq": init(hidden, q_dim),
+        "wk": init(hidden, kv_dim),
+        "wv": init(hidden, kv_dim),
+        "wo": init(q_dim, hidden),
+        "w_gate": init(hidden, intermediate),
+        "w_up": init(hidden, intermediate),
+        "w_down": init(intermediate, hidden),
+        "q_norm": ones(head_dim),
+        "k_norm": ones(head_dim),
+        "ln1": ones(hidden),
+        "ln2": ones(hidden),
     }

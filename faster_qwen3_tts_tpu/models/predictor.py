@@ -37,26 +37,28 @@ def layer_shape(cfg: PredictorConfig) -> LayerShape:
     )
 
 
-def init_params(key: jax.Array, cfg: PredictorConfig, talker_hidden: int, dtype=jnp.bfloat16):
-    ks = jax.random.split(key, 4)
+def init_params(seed: int, cfg: PredictorConfig, talker_hidden: int, dtype=jnp.bfloat16):
+    import numpy as np
 
-    def init(kk, *shape, scale=None):
+    rng = np.random.default_rng(seed)
+
+    def init(*shape, scale=None):
         fan_in = shape[-2] if len(shape) >= 2 else shape[-1]
         scale = scale if scale is not None else fan_in**-0.5
-        return (jax.random.normal(kk, shape, jnp.float32) * scale).astype(dtype)
+        return jnp.asarray(rng.standard_normal(shape, dtype=np.float32) * scale, dtype=dtype)
 
     return {
         # small_to_mtp_projection (reference predictor_graph.py:54)
         "mtp_proj": {
-            "w": init(ks[0], talker_hidden, cfg.hidden_size),
-            "b": jnp.zeros((cfg.hidden_size,), dtype),
+            "w": init(talker_hidden, cfg.hidden_size),
+            "b": jnp.asarray(np.zeros((cfg.hidden_size,), np.float32), dtype=dtype),
         },
         # per-codebook embeddings, stacked: [15, codebook_vocab, talker_hidden]
-        "codec_embeds": init(ks[1], cfg.num_codebooks, cfg.vocab_size, talker_hidden, scale=0.02),
+        "codec_embeds": init(cfg.num_codebooks, cfg.vocab_size, talker_hidden, scale=0.02),
         # per-codebook lm heads, stacked: [15, pred_hidden, codebook_vocab]
-        "lm_heads": init(ks[2], cfg.num_codebooks, cfg.hidden_size, cfg.vocab_size),
+        "lm_heads": init(cfg.num_codebooks, cfg.hidden_size, cfg.vocab_size),
         "layers": layers.init_stacked_layers(
-            ks[3],
+            seed + 1,
             cfg.num_hidden_layers,
             cfg.hidden_size,
             cfg.q_dim,
@@ -65,7 +67,7 @@ def init_params(key: jax.Array, cfg: PredictorConfig, talker_hidden: int, dtype=
             cfg.intermediate_size,
             dtype,
         ),
-        "final_norm": jnp.ones((cfg.hidden_size,), dtype),
+        "final_norm": jnp.asarray(np.ones((cfg.hidden_size,), np.float32), dtype=dtype),
     }
 
 

@@ -32,28 +32,31 @@ def layer_shape(cfg: TalkerConfig) -> LayerShape:
     )
 
 
-def init_params(key: jax.Array, cfg: TalkerConfig, dtype=jnp.bfloat16):
-    ks = jax.random.split(key, 6)
+def init_params(seed: int, cfg: TalkerConfig, dtype=jnp.bfloat16):
+    import numpy as np
 
-    def init(kk, *shape, scale=None):
+    rng = np.random.default_rng(seed)
+
+    def init(*shape, scale=None):
         fan_in = shape[0] if len(shape) >= 2 else shape[-1]
         scale = scale if scale is not None else fan_in**-0.5
-        return (jax.random.normal(kk, shape, jnp.float32) * scale).astype(dtype)
+        return jnp.asarray(rng.standard_normal(shape, dtype=np.float32) * scale, dtype=dtype)
 
+    zeros = lambda *shape: jnp.asarray(np.zeros(shape, np.float32), dtype=dtype)
     return {
-        "text_embed": init(ks[0], cfg.text_vocab_size, cfg.text_hidden_size, scale=0.02),
+        "text_embed": init(cfg.text_vocab_size, cfg.text_hidden_size, scale=0.02),
         "text_proj": {
-            "w": init(ks[1], cfg.text_hidden_size, cfg.hidden_size),
-            "b": jnp.zeros((cfg.hidden_size,), dtype),
+            "w": init(cfg.text_hidden_size, cfg.hidden_size),
+            "b": zeros(cfg.hidden_size),
         },
-        "codec_embed": init(ks[2], cfg.vocab_size, cfg.hidden_size, scale=0.02),
-        "codec_head": init(ks[3], cfg.hidden_size, cfg.vocab_size),
+        "codec_embed": init(cfg.vocab_size, cfg.hidden_size, scale=0.02),
+        "codec_head": init(cfg.hidden_size, cfg.vocab_size),
         "spk_proj": {
-            "w": init(ks[4], 2048, cfg.hidden_size),
-            "b": jnp.zeros((cfg.hidden_size,), dtype),
+            "w": init(2048, cfg.hidden_size),
+            "b": zeros(cfg.hidden_size),
         },
         "layers": layers.init_stacked_layers(
-            ks[5],
+            seed + 1,
             cfg.num_hidden_layers,
             cfg.hidden_size,
             cfg.q_dim,
@@ -62,7 +65,7 @@ def init_params(key: jax.Array, cfg: TalkerConfig, dtype=jnp.bfloat16):
             cfg.intermediate_size,
             dtype,
         ),
-        "final_norm": jnp.ones((cfg.hidden_size,), dtype),
+        "final_norm": jnp.asarray(np.ones((cfg.hidden_size,), np.float32), dtype=dtype),
     }
 
 

@@ -15,6 +15,10 @@ os.environ.setdefault("FQ3T_DISABLE_PALLAS", "1")
 import pytest  # noqa: E402
 import jax  # noqa: E402
 
+# Persistent compilation cache: compiles are expensive in this environment.
+jax.config.update("jax_compilation_cache_dir", "/tmp/fq3t_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 
 @pytest.fixture(scope="session")
 def tiny_config():

@@ -19,13 +19,10 @@ MAX_SEQ = 64
 
 
 @pytest.fixture(scope="module")
-def params(tiny_config, rng):
-    tp = talker_lib.init_params(rng, tiny_config.talker, dtype=jnp.float32)
+def params(tiny_config):
+    tp = talker_lib.init_params(0, tiny_config.talker, dtype=jnp.float32)
     pp = predictor_lib.init_params(
-        jax.random.fold_in(rng, 1),
-        tiny_config.predictor,
-        tiny_config.talker.hidden_size,
-        dtype=jnp.float32,
+        100, tiny_config.predictor, tiny_config.talker.hidden_size, dtype=jnp.float32
     )
     return tp, pp
 
