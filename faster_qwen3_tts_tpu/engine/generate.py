@@ -1,0 +1,268 @@
+"""Host-side generation drivers over the fused device engine.
+
+Equivalent surface to the reference's generation loops (generate.py
+`fast_generate` and streaming.py `fast_generate_streaming` /
+`parity_generate_streaming`), with the TPU-native difference that the host
+never syncs per frame: the device runs `chunk`-frame fused scans and the host
+reads back [chunk, 16] token blocks (+ the EOS flag) once per chunk.
+
+Timing dict contracts match the reference exactly:
+  non-streaming: {prefill_ms, decode_s, steps, ms_per_step, steps_per_s}
+                 (reference generate.py:204-211)
+  streaming:     {chunk_index, chunk_steps, prefill_ms, decode_ms,
+                  total_steps_so_far, is_final}   (reference streaming.py:162-188)
+"""
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, Generator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Qwen3TTSConfig
+from ..ops.sampling import SamplingParams
+from . import core
+
+PREFILL_BUCKETS = (32, 64, 128, 256, 512, 1024, 2048)
+
+
+def prefill_bucket(n: int, max_seq: int) -> int:
+    for b in PREFILL_BUCKETS:
+        if b >= n and b <= max_seq:
+            return b
+    if n <= max_seq:
+        return max_seq
+    raise ValueError(f"prefill length {n} exceeds max_seq_len {max_seq}")
+
+
+def _bucket_pow2(n: int, lo: int = 16) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+def _pad_left(tie: np.ndarray, mask: np.ndarray, bucket: int) -> Tuple[np.ndarray, np.ndarray]:
+    B, P, H = tie.shape
+    if P == bucket:
+        return tie, mask
+    out = np.zeros((B, bucket, H), tie.dtype)
+    m = np.zeros((B, bucket), mask.dtype)
+    out[:, bucket - P :] = tie
+    m[:, bucket - P :] = mask
+    return out, m
+
+
+def _pad_trailing(tth: np.ndarray, tpe: np.ndarray, bucket: int) -> np.ndarray:
+    """Pad trailing text hiddens to a bucket with the pad embedding. Semantics
+    are invariant: positions past the real text already resolve to tts_pad
+    (reference generate.py:168-171)."""
+    B, T, H = tth.shape
+    if T == bucket:
+        return tth
+    out = np.tile(np.asarray(tpe).reshape(1, 1, H), (B, bucket, 1)).astype(tth.dtype)
+    out[:, :T] = tth
+    return out
+
+
+class GenerationSession:
+    """One request's device state + chunk pump."""
+
+    def __init__(
+        self,
+        params: Dict[str, Any],
+        cfg: Qwen3TTSConfig,
+        tie: np.ndarray,
+        attention_mask: np.ndarray,
+        trailing_text: np.ndarray,
+        tts_pad_embed: np.ndarray,
+        max_seq_len: int,
+        sampling: SamplingParams,
+        pred_sampling: SamplingParams,
+        min_new_tokens: int,
+        seed: Optional[int] = None,
+        dtype=None,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.sampling = sampling
+        self.pred_sampling = pred_sampling
+        self.min_new_tokens = min_new_tokens
+        # Activations must match the parameter dtype (fp32 parity mode uses
+        # fp32 weights end-to-end, reference test_e2e_parity.py:236-252).
+        dtype = params["talker"]["codec_embed"].dtype
+
+        P = tie.shape[1]
+        bucket = prefill_bucket(P, max_seq_len)
+        tie_b, mask_b = _pad_left(tie, attention_mask, bucket)
+        t_bucket = _bucket_pow2(trailing_text.shape[1])
+        tth_b = _pad_trailing(trailing_text, tts_pad_embed, t_bucket)
+
+        self.tie = jnp.asarray(tie_b, dtype)
+        self.mask = jnp.asarray(mask_b, jnp.int32)
+        self.tth = jnp.asarray(tth_b, dtype)
+        self.tpe = jnp.asarray(tts_pad_embed, dtype)
+
+        if seed is None:
+            seed = int(np.random.default_rng().integers(0, 2**31 - 1))
+        self.key = jax.random.PRNGKey(seed)
+        self.max_seq_len = max_seq_len
+        self.state = None
+        self.prefill_ms = 0.0
+
+    def prefill(self) -> None:
+        t0 = time.perf_counter()
+        state, _ = core.start_state(
+            self.params["talker"],
+            self.cfg.talker,
+            self.tie,
+            self.mask,
+            self.key,
+            self.max_seq_len,
+            self.sampling,
+            self.min_new_tokens,
+        )
+        jax.block_until_ready(state.token)
+        self.state = state
+        self.prefill_ms = (time.perf_counter() - t0) * 1000.0
+
+    def decode_chunk(self, chunk_size: int) -> Tuple[np.ndarray, bool]:
+        """Run one fused chunk. Returns (valid frames [n,16] np.int32, done)."""
+        self.state, frames, valid = core.decode_chunk(
+            self.params["talker"],
+            self.params["predictor"],
+            self.cfg.talker,
+            self.cfg.predictor,
+            self.state,
+            self.tth,
+            self.tpe,
+            chunk_size,
+            self.sampling,
+            self.pred_sampling,
+            self.min_new_tokens,
+        )
+        frames_np = np.asarray(frames)  # [chunk, B, 16]
+        valid_np = np.asarray(valid)  # [chunk, B]
+        done = bool(np.asarray(self.state.done).all())
+        out = frames_np[valid_np[:, 0], 0]
+        return out.astype(np.int32), done
+
+
+def fast_generate(
+    params,
+    cfg: Qwen3TTSConfig,
+    tie,
+    attention_mask,
+    trailing_text,
+    tts_pad_embed,
+    max_seq_len: int = 2048,
+    max_new_tokens: int = 2048,
+    min_new_tokens: int = 2,
+    temperature: float = 0.9,
+    top_k: int = 50,
+    top_p: float = 1.0,
+    do_sample: bool = True,
+    repetition_penalty: float = 1.05,
+    subtalker_dosample: Optional[bool] = None,
+    subtalker_top_k: Optional[int] = None,
+    subtalker_top_p: Optional[float] = None,
+    subtalker_temperature: Optional[float] = None,
+    seed: Optional[int] = None,
+    device_chunk: int = 32,
+) -> Tuple[Optional[np.ndarray], Dict[str, Any]]:
+    """Non-streaming generation -> ([T,16] codes, timing). Mirrors the fast
+    path of reference generate.py:99-215 (device_chunk frames per dispatch
+    instead of per-step host syncs)."""
+    sampling = SamplingParams(temperature, top_k, top_p, do_sample, repetition_penalty)
+    pred_sampling = SamplingParams(
+        temperature if subtalker_temperature is None else subtalker_temperature,
+        top_k if subtalker_top_k is None else subtalker_top_k,
+        top_p if subtalker_top_p is None else subtalker_top_p,
+        do_sample if subtalker_dosample is None else subtalker_dosample,
+        1.0,
+    )
+    sess = GenerationSession(
+        params, cfg, tie, attention_mask, trailing_text, tts_pad_embed,
+        max_seq_len, sampling, pred_sampling, min_new_tokens, seed,
+    )
+    sess.prefill()
+
+    t0 = time.perf_counter()
+    chunks = []
+    steps = 0
+    while steps < max_new_tokens:
+        n = min(device_chunk, max_new_tokens - steps)
+        frames, done = sess.decode_chunk(n)
+        if frames.shape[0]:
+            chunks.append(frames)
+            steps += frames.shape[0]
+        if done:
+            break
+    decode_s = time.perf_counter() - t0
+
+    timing = {
+        "prefill_ms": sess.prefill_ms,
+        "decode_s": decode_s,
+        "steps": steps,
+        "ms_per_step": (decode_s / steps * 1000.0) if steps else 0.0,
+        "steps_per_s": (steps / decode_s) if decode_s > 0 else 0.0,
+    }
+    if not chunks:
+        return None, timing
+    return np.concatenate(chunks, axis=0), timing
+
+
+def fast_generate_streaming(
+    params,
+    cfg: Qwen3TTSConfig,
+    tie,
+    attention_mask,
+    trailing_text,
+    tts_pad_embed,
+    max_seq_len: int = 2048,
+    max_new_tokens: int = 2048,
+    min_new_tokens: int = 2,
+    temperature: float = 0.9,
+    top_k: int = 50,
+    top_p: float = 1.0,
+    do_sample: bool = True,
+    repetition_penalty: float = 1.05,
+    chunk_size: int = 12,
+    seed: Optional[int] = None,
+) -> Generator[Tuple[np.ndarray, Dict[str, Any]], None, None]:
+    """Streaming generation: yields ([chunk,16] codes, timing) per chunk.
+
+    The device chunk granularity IS the streaming chunk (one fused scan per
+    yielded chunk), so the host sync that paces the stream is the only one.
+    Protocol matches reference streaming.py:99-188.
+    """
+    sampling = SamplingParams(temperature, top_k, top_p, do_sample, repetition_penalty)
+    sess = GenerationSession(
+        params, cfg, tie, attention_mask, trailing_text, tts_pad_embed,
+        max_seq_len, sampling, sampling, min_new_tokens, seed,
+    )
+    sess.prefill()
+
+    total = 0
+    chunk_index = 0
+    while total < max_new_tokens:
+        t0 = time.perf_counter()
+        n = min(chunk_size, max_new_tokens - total)
+        frames, done = sess.decode_chunk(n)
+        decode_ms = (time.perf_counter() - t0) * 1000.0
+        stream_done = done or (total + frames.shape[0]) >= max_new_tokens
+        if frames.shape[0]:
+            total += frames.shape[0]
+            yield frames, {
+                "chunk_index": chunk_index,
+                "chunk_steps": int(frames.shape[0]),
+                "prefill_ms": sess.prefill_ms if chunk_index == 0 else 0.0,
+                "decode_ms": decode_ms,
+                "total_steps_so_far": total,
+                "is_final": bool(stream_done),
+            }
+            chunk_index += 1
+        if stream_done:
+            break

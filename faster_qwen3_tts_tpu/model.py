@@ -1,0 +1,774 @@
+"""FasterQwen3TTS: the public TPU inference API.
+
+Same public surface as the reference's `FasterQwen3TTS` (reference
+model.py:22-1505): `from_pretrained`, `warmup`, six generate methods
+(voice-clone / custom-voice / voice-design, each non-streaming + streaming),
+`speech_tokenizer`, `sample_rate` — implemented over the JAX/XLA engine
+instead of CUDA graphs, and owning the full model stack (weights, tokenizer,
+prompt assembly, codec) instead of wrapping an upstream package.
+
+Key differences by design (TPU-first):
+- `warmup()` AOT-compiles the jitted prefill/decode/codec executables for the
+  bucketed shape set (the analog of CUDA-graph capture, reference
+  model.py:239-256); everything afterwards is cached-executable dispatch.
+- The decode loop never syncs the host per frame; chunked fused scans return
+  token blocks at exactly the streaming-chunk granularity.
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import time
+from pathlib import Path
+from typing import Any, Dict, Generator, List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import Qwen3TTSConfig, get_config
+from .engine import generate as gen_lib
+from .models import codec as codec_lib
+from .prompt import PromptBuilder
+from .utils import audio as audio_lib
+from .utils.tokenizer import PromptTokenizer, load_tokenizer
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class VoiceClonePromptItem:
+    """One reference-voice prompt item (the create_voice_clone_prompt output
+    contract: reference model.py:429-451, README 'precomputed prompts')."""
+
+    ref_spk_embedding: np.ndarray  # [2048] x-vector
+    ref_code: Optional[np.ndarray] = None  # [T, 16] codec tokens (ICL only)
+    icl_mode: bool = False
+    x_vector_only_mode: bool = True
+    ref_text: str = ""
+
+
+class SpeechTokenizerFacade:
+    """Codec decode surface matching `speech_tokenizer.decode({"audio_codes"})`
+    (reference model.py:918-924)."""
+
+    def __init__(self, params, cfg: Qwen3TTSConfig):
+        self._params = params
+        self._cfg = cfg
+        self.sample_rate = cfg.codec.sample_rate
+
+    def decode(self, inputs: Dict[str, Any]) -> Tuple[List[np.ndarray], int]:
+        codes = np.asarray(inputs["audio_codes"])
+        if codes.ndim == 2:
+            codes = codes[None]
+        B, T, Q = codes.shape
+        outs = []
+        for b in range(B):
+            outs.append(self._decode_one(codes[b]))
+        return outs, self.sample_rate
+
+    def _decode_one(self, codes: np.ndarray) -> np.ndarray:
+        T = codes.shape[0]
+        cfg = self._cfg.codec
+        up = cfg.total_upsample
+        # Exact-length output of the decoder geometry for T frames:
+        exact = self._exact_len(T)
+        if T <= 64:
+            wav = codec_lib.decode_frames_jit(
+                self._params["codec"], cfg, jnp.asarray(codes[None], jnp.int32)
+            )
+            return np.asarray(wav[0], np.float32)
+        # Long sequences: pad frame count to a bucket by repeating the last
+        # frame (causal decoder => earlier samples unaffected; the repeated
+        # tail keeps the lookahead region acoustically continuous), then cut
+        # to the exact unpadded length. Bounds compile count for arbitrary T.
+        bucket = 64
+        while bucket < T:
+            bucket *= 2
+        padded = np.concatenate([codes, np.tile(codes[-1:], (bucket - T, 1))], axis=0)
+        wav = codec_lib.decode_frames_jit(
+            self._params["codec"], cfg, jnp.asarray(padded[None], jnp.int32)
+        )
+        return np.asarray(wav[0, :exact], np.float32)
+
+    def _exact_len(self, T: int) -> int:
+        cfg = self._cfg.codec
+        n = T
+        for r in cfg.upsampling_ratios:
+            n *= r
+        for r in cfg.upsample_rates:
+            n = (n - 1) * r
+        return n
+
+
+class FasterQwen3TTS:
+    """TPU-native Qwen3-TTS engine with the reference-compatible public API."""
+
+    def __init__(
+        self,
+        params: Dict[str, Any],
+        config: Qwen3TTSConfig,
+        tokenizer: PromptTokenizer,
+        max_seq_len: int = 2048,
+        dtype=jnp.bfloat16,
+    ):
+        self.params = params
+        self.config = config
+        self.tokenizer = tokenizer
+        self.max_seq_len = max_seq_len
+        self.dtype = dtype
+        self.sample_rate = config.codec.sample_rate
+        self.prompt_builder = PromptBuilder(params, config)
+        self._speech_tokenizer = SpeechTokenizerFacade(params, config)
+        self._warmed_up = False
+        self._voice_prompt_cache: Dict[Any, Any] = {}
+        self._voice_extractor = None
+        # frames per fused device dispatch in non-streaming generation
+        self.device_chunk = 32
+
+    # ------------------------------------------------------------------ init
+
+    @classmethod
+    def from_pretrained(
+        cls,
+        model_name: str,
+        device: str = "tpu",
+        dtype: Union[str, Any] = "bfloat16",
+        attn_implementation: str = "pallas",
+        max_seq_len: int = 2048,
+        backend: str = "jax",
+        seed: int = 0,
+        cache_dir: Optional[Union[str, Path]] = None,
+        local_files_only: bool = False,
+        **kwargs,
+    ) -> "FasterQwen3TTS":
+        """Load (or random-init) a model bundle and build the engine.
+
+        model_name: HF-style id (resolved to a size/type preset), a directory
+        with this framework's checkpoint (model.safetensors + config.json), or
+        a directory with upstream HF safetensors.
+        backend: "jax" (default). "native" routes host pre/post-processing
+        through the C++ runtime (see native_backend.py).
+        """
+        if backend in ("native",):
+            from .native_backend import NativeQwen3TTS
+
+            return NativeQwen3TTS.from_pretrained(
+                model_name, max_seq_len=max_seq_len, dtype=dtype, seed=seed, **kwargs
+            )
+        if backend not in ("jax", "tpu", "xla"):
+            raise ValueError(
+                f"Unsupported backend {backend!r}. Expected 'jax' (default) or 'native'."
+            )
+        if isinstance(dtype, str):
+            dtype = {"bf16": jnp.bfloat16, "bfloat16": jnp.bfloat16, "fp32": jnp.float32,
+                     "float32": jnp.float32, "fp16": jnp.bfloat16}[dtype]
+        if attn_implementation not in ("pallas", "xla"):
+            raise ValueError("attn_implementation must be 'pallas' or 'xla'")
+        if attn_implementation == "xla":
+            os.environ["FQ3T_DISABLE_PALLAS"] = "1"
+
+        from . import weights as weights_lib
+
+        if os.path.isdir(model_name) and os.path.exists(
+            os.path.join(model_name, "model.safetensors")
+        ):
+            params, config = weights_lib.load_pretrained(model_name)
+            tok = PromptTokenizer(load_tokenizer(model_name))
+        else:
+            config = get_config(model_name)
+            if os.path.isdir(model_name):
+                params = weights_lib.load_hf_checkpoint(model_name, config, dtype=dtype)
+                tok = PromptTokenizer(load_tokenizer(model_name))
+            else:
+                logger.warning(
+                    "No local checkpoint for %s; using random-initialized weights "
+                    "(benchmark/test mode).",
+                    model_name,
+                )
+                params = weights_lib.init_all(config, seed=seed, dtype=dtype)
+                tok = PromptTokenizer(load_tokenizer(None))
+        return cls(params, config, tok, max_seq_len=max_seq_len, dtype=dtype)
+
+    # ---------------------------------------------------------------- warmup
+
+    def warmup(self, prefill_len: int = 100) -> None:
+        """AOT-compile the hot executables (the CUDA-graph-capture analog,
+        reference model.py:239-256). Idempotent."""
+        if self._warmed_up:
+            return
+        logger.info("Warming up jitted executables...")
+        t0 = time.perf_counter()
+        H = self.config.talker.hidden_size
+        bucket = gen_lib.prefill_bucket(prefill_len, self.max_seq_len)
+        tie = np.zeros((1, bucket, H), np.float32)
+        mask = np.ones((1, bucket), np.int32)
+        tth = np.zeros((1, 16, H), np.float32)
+        tpe = np.zeros((1, 1, H), np.float32)
+        from .ops.sampling import SamplingParams
+
+        sess = gen_lib.GenerationSession(
+            self.params, self.config, tie, mask, tth, tpe, self.max_seq_len,
+            SamplingParams(), SamplingParams(), 2, seed=0, dtype=self.dtype,
+        )
+        sess.prefill()
+        for chunk in (8, 12, self.device_chunk):
+            sess.decode_chunk(chunk)
+        self._warmed_up = True
+        logger.info("Warmup complete in %.1fs", time.perf_counter() - t0)
+
+    def _warmup(self, prefill_len: int) -> None:
+        self.warmup(prefill_len=prefill_len)
+
+    # -------------------------------------------------------------- plumbing
+
+    @property
+    def speech_tokenizer(self) -> SpeechTokenizerFacade:
+        return self._speech_tokenizer
+
+    @staticmethod
+    def _resolve_non_streaming_mode(non_streaming_mode: Optional[bool], *, default: bool) -> bool:
+        """None -> the method-specific upstream default (clone False,
+        custom/design True — reference model.py:84-91)."""
+        return default if non_streaming_mode is None else non_streaming_mode
+
+    def generate(self, *args, **kwargs):
+        raise NotImplementedError(
+            "Default voice generation not implemented. Use generate_voice_clone(), "
+            "generate_custom_voice(), or generate_voice_design()."
+        )
+
+    def create_voice_clone_prompt(
+        self,
+        ref_audio: Union[str, Path, Tuple[np.ndarray, int]],
+        ref_text: str = "",
+        x_vector_only_mode: bool = False,
+    ) -> List[VoiceClonePromptItem]:
+        """Extract a voice-clone prompt from reference audio.
+
+        Runs the speaker (x-vector) encoder and, for ICL mode, the codec
+        encoder (reference call surface: model.py:429-451)."""
+        if isinstance(ref_audio, (str, Path)):
+            audio, sr = audio_lib.read_wav(ref_audio)
+        else:
+            audio, sr = ref_audio
+            audio = np.asarray(audio, np.float32)
+        extractor = self._get_voice_extractor()
+        xvec = extractor.extract_xvector(audio, sr)
+        if x_vector_only_mode:
+            return [
+                VoiceClonePromptItem(
+                    ref_spk_embedding=xvec, icl_mode=False, x_vector_only_mode=True,
+                    ref_text="",
+                )
+            ]
+        ref_code = extractor.extract_codes(audio, sr)
+        return [
+            VoiceClonePromptItem(
+                ref_spk_embedding=xvec, ref_code=ref_code, icl_mode=True,
+                x_vector_only_mode=False, ref_text=ref_text,
+            )
+        ]
+
+    def _get_voice_extractor(self):
+        if self._voice_extractor is None:
+            from .models.voice_extract import VoiceExtractor
+
+            self._voice_extractor = VoiceExtractor(self.params, self.config)
+        return self._voice_extractor
+
+    def _prompt_items_to_voice_clone_prompt(self, items: List[VoiceClonePromptItem]) -> Dict[str, Any]:
+        return dict(
+            ref_code=[i.ref_code for i in items],
+            ref_spk_embedding=[i.ref_spk_embedding for i in items],
+            x_vector_only_mode=[bool(i.x_vector_only_mode) for i in items],
+            icl_mode=[bool(i.icl_mode) for i in items],
+        )
+
+    # -- voice-clone prompt resolution (reference model.py:295-463) ----------
+
+    def _resolve_voice_clone_prompt(
+        self, input_ids, ref_audio, ref_text, xvec_only, append_silence, voice_clone_prompt
+    ):
+        if voice_clone_prompt is not None:
+            return self._resolve_precomputed(input_ids, ref_text, voice_clone_prompt)
+        if ref_audio is None:
+            raise ValueError("ref_audio is required when voice_clone_prompt is not provided")
+        return self._resolve_from_reference(
+            input_ids, ref_audio, ref_text, xvec_only, append_silence
+        )
+
+    def _resolve_precomputed(self, input_ids, ref_text, voice_clone_prompt):
+        n = len(input_ids)
+        if isinstance(voice_clone_prompt, list):
+            if len(voice_clone_prompt) != n:
+                raise ValueError(
+                    f"voice_clone_prompt must have length {n}, got {len(voice_clone_prompt)}"
+                )
+            vcp = self._prompt_items_to_voice_clone_prompt(voice_clone_prompt)
+            ref_ids = []
+            for item in voice_clone_prompt:
+                if bool(item.icl_mode):
+                    item_text = item.ref_text or ref_text
+                    if not item_text:
+                        raise ValueError("ref_text is required when voice_clone_prompt uses ICL mode.")
+                    ref_ids.append(self.tokenizer.ref_ids(item_text))
+                else:
+                    ref_ids.append(None)
+            return vcp, ref_ids, any(vcp["icl_mode"])
+
+        if "ref_spk_embedding" not in voice_clone_prompt:
+            raise ValueError(
+                "voice_clone_prompt missing required keys: ['ref_spk_embedding']. "
+                "Expected keys: ['ref_spk_embedding']"
+            )
+        for key in ("ref_spk_embedding", "x_vector_only_mode", "icl_mode", "ref_code"):
+            if key in voice_clone_prompt:
+                v = voice_clone_prompt[key]
+                if not isinstance(v, list) or len(v) != n:
+                    raise ValueError(
+                        f"voice_clone_prompt[{key!r}] must be a list with length {n}"
+                    )
+        xvec_modes = voice_clone_prompt.get("x_vector_only_mode", [True] * n)
+        if "icl_mode" in voice_clone_prompt:
+            icl_modes = [bool(v) for v in voice_clone_prompt["icl_mode"]]
+            for i, (xm, im) in enumerate(zip(xvec_modes, icl_modes)):
+                if bool(xm) == bool(im):
+                    raise ValueError(
+                        f"voice_clone_prompt has inconsistent mode flags at index {i}: "
+                        "x_vector_only_mode and icl_mode must be opposites"
+                    )
+        else:
+            icl_modes = [not bool(v) for v in xvec_modes]
+        ref_codes = voice_clone_prompt.get("ref_code", [None] * n)
+        for i, (xm, im, rc) in enumerate(zip(xvec_modes, icl_modes, ref_codes)):
+            if bool(xm) and rc is not None:
+                raise ValueError(
+                    f"voice_clone_prompt index {i}: ref_code must be None in x_vector_only mode"
+                )
+            if bool(im) and rc is None:
+                raise ValueError(f"voice_clone_prompt index {i}: ref_code is required in ICL mode")
+        vcp = dict(
+            ref_code=ref_codes,
+            ref_spk_embedding=voice_clone_prompt["ref_spk_embedding"],
+            x_vector_only_mode=[bool(v) for v in xvec_modes],
+            icl_mode=icl_modes,
+        )
+        using_icl = any(icl_modes)
+        if using_icl:
+            if not ref_text:
+                raise ValueError("ref_text is required when voice_clone_prompt uses ICL mode.")
+            rid = self.tokenizer.ref_ids(ref_text)
+            ref_ids = [rid if im else None for im in icl_modes]
+        else:
+            ref_ids = [None] * n
+        return vcp, ref_ids, using_icl
+
+    def _resolve_from_reference(self, input_ids, ref_audio, ref_text, xvec_only, append_silence):
+        using_icl = not xvec_only
+        cache_key = (str(ref_audio), ref_text, xvec_only, append_silence)
+        if cache_key in self._voice_prompt_cache:
+            vcp, ref_ids = self._voice_prompt_cache[cache_key]
+            return vcp, ref_ids, using_icl
+        if xvec_only:
+            items = self.create_voice_clone_prompt(
+                str(ref_audio), ref_text="", x_vector_only_mode=True
+            )
+            vcp = self._prompt_items_to_voice_clone_prompt(items)
+            ref_ids = [None] * len(input_ids)
+        else:
+            silence = 0.5 if append_silence else 0.0
+            audio, sr = audio_lib.load_ref_audio(ref_audio, silence_secs=silence)
+            items = self.create_voice_clone_prompt((audio, sr), ref_text=ref_text)
+            vcp = self._prompt_items_to_voice_clone_prompt(items)
+            rt = items[0].ref_text
+            ref_ids = [self.tokenizer.ref_ids(rt) if rt else None]
+        self._voice_prompt_cache[cache_key] = (vcp, ref_ids)
+        return vcp, ref_ids, using_icl
+
+    # -- shared preparation (reference model.py:465-581) ---------------------
+
+    def _prepare_generation(
+        self,
+        text: str,
+        ref_audio=None,
+        ref_text: str = "",
+        language: str = "English",
+        xvec_only: bool = False,
+        non_streaming_mode: bool = False,
+        append_silence: bool = True,
+        voice_clone_prompt=None,
+        instruct: Optional[str] = None,
+    ):
+        input_ids = [self.tokenizer.assistant_ids(text)]
+        instruct_ids = [self.tokenizer.instruct_ids(instruct)] if instruct else [None]
+        vcp, ref_ids, using_icl = self._resolve_voice_clone_prompt(
+            input_ids, ref_audio, ref_text, xvec_only, append_silence, voice_clone_prompt
+        )
+        if instruct and not using_icl:
+            logger.warning(
+                "Base-model instruct with x-vector-only voice cloning is experimental; "
+                "prefer xvec_only=False (ICL mode)."
+            )
+        tie, tam, tth, tpe = self.prompt_builder.build(
+            input_ids=input_ids,
+            ref_ids=ref_ids,
+            voice_clone_prompt=vcp,
+            languages=[language] if language is not None else ["Auto"],
+            speakers=None,
+            non_streaming_mode=non_streaming_mode,
+            instruct_ids=instruct_ids,
+        )
+        if not self._warmed_up:
+            self.warmup(tie.shape[1])
+        ref_codes = None
+        if using_icl and vcp.get("ref_code") and vcp["ref_code"][0] is not None:
+            ref_codes = np.asarray(vcp["ref_code"][0], np.int32)
+        return tie, tam, tth, tpe, ref_codes
+
+    def _prepare_generation_custom(
+        self, text, language, speaker, instruct=None, non_streaming_mode=True
+    ):
+        input_ids = [self.tokenizer.assistant_ids(text)]
+        instruct_ids = [self.tokenizer.instruct_ids(instruct)] if instruct else [None]
+        tie, tam, tth, tpe = self.prompt_builder.build(
+            input_ids=input_ids,
+            ref_ids=[None],
+            voice_clone_prompt=None,
+            languages=[language] if language is not None else ["Auto"],
+            speakers=[speaker],
+            non_streaming_mode=non_streaming_mode,
+            instruct_ids=instruct_ids,
+        )
+        if not self._warmed_up:
+            self.warmup(tie.shape[1])
+        return tie, tam, tth, tpe
+
+    # -- validation helpers (reference _validate_languages/_validate_speakers)
+
+    def _validate_languages(self, languages: List[str]) -> None:
+        for lang in languages:
+            if lang is None:
+                continue
+            k = lang.lower()
+            if k != "auto" and k not in self.config.talker.codec_language_id:
+                raise NotImplementedError(f"Language {lang} not implemented")
+
+    def _validate_speakers(self, speakers: List[str]) -> None:
+        for s in speakers:
+            if s and s.lower() not in self.config.talker.spk_id:
+                raise NotImplementedError(f"Speaker {s} not implemented")
+
+    def get_supported_speakers(self) -> List[str]:
+        return sorted(self.config.talker.spk_id.keys())
+
+    @property
+    def tts_model_type(self) -> str:
+        return self.config.model_type
+
+    @property
+    def tts_model_size(self) -> str:
+        return self.config.model_size
+
+    # -- codec decode helpers -------------------------------------------------
+
+    def _decode_audio(self, codec_ids: np.ndarray, ref_codes: Optional[np.ndarray]):
+        """Full-sequence codec decode with ICL ref-code prepend + trim
+        (reference model.py:917-938)."""
+        if ref_codes is not None:
+            codes = np.concatenate([ref_codes, codec_ids], axis=0)
+        else:
+            codes = codec_ids
+        audio_list, sr = self._speech_tokenizer.decode({"audio_codes": codes[None]})
+        ref_len = ref_codes.shape[0] if ref_codes is not None else 0
+        total = codes.shape[0]
+        outs = []
+        for a in audio_list:
+            a = np.asarray(a).flatten()
+            if ref_len > 0:
+                cut = int(ref_len / max(total, 1) * len(a))
+                a = a[cut:]
+            outs.append(a)
+        return outs, sr
+
+    def _log_rtf(self, timing: Dict[str, Any]) -> None:
+        steps = timing["steps"]
+        audio_s = steps / self.config.frame_rate
+        total = timing["prefill_ms"] / 1000 + timing["decode_s"]
+        rtf = audio_s / total if total > 0 else 0
+        logger.info(
+            "Generated %.2fs audio in %.2fs (%.1fms/step, RTF: %.2f)",
+            audio_s, total, timing["ms_per_step"], rtf,
+        )
+
+    # ------------------------------------------------------------- generate*
+
+    def generate_voice_clone(
+        self,
+        text: str,
+        language: str,
+        ref_audio: Optional[Union[str, Path]] = None,
+        ref_text: str = "",
+        max_new_tokens: int = 2048,
+        min_new_tokens: int = 2,
+        temperature: float = 0.9,
+        top_k: int = 50,
+        top_p: float = 1.0,
+        do_sample: bool = True,
+        repetition_penalty: float = 1.05,
+        xvec_only: bool = False,
+        non_streaming_mode: Optional[bool] = None,
+        append_silence: bool = True,
+        instruct: Optional[str] = None,
+        voice_clone_prompt=None,
+        seed: Optional[int] = None,
+    ) -> Tuple[List[np.ndarray], int]:
+        """Voice-clone TTS -> ([waveform], sample_rate). Mirrors reference
+        model.py:807-950."""
+        nsm = self._resolve_non_streaming_mode(non_streaming_mode, default=False)
+        tie, tam, tth, tpe, ref_codes = self._prepare_generation(
+            text=text, language=language, ref_audio=ref_audio, ref_text=ref_text,
+            xvec_only=xvec_only, non_streaming_mode=nsm, append_silence=append_silence,
+            voice_clone_prompt=voice_clone_prompt, instruct=instruct,
+        )
+        codec_ids, timing = gen_lib.fast_generate(
+            self.params, self.config, tie, tam, tth, tpe,
+            max_seq_len=self.max_seq_len, max_new_tokens=max_new_tokens,
+            min_new_tokens=min_new_tokens, temperature=temperature, top_k=top_k,
+            top_p=top_p, do_sample=do_sample, repetition_penalty=repetition_penalty,
+            seed=seed, device_chunk=self.device_chunk,
+        )
+        if codec_ids is None:
+            logger.warning("Generation returned no tokens")
+            return [np.zeros(1, np.float32)], self.sample_rate
+        audio, sr = self._decode_audio(codec_ids, ref_codes)
+        self._log_rtf(timing)
+        return audio, sr
+
+    def generate_voice_clone_streaming(
+        self,
+        text: str,
+        language: str,
+        ref_audio: Optional[Union[str, Path]] = None,
+        ref_text: str = "",
+        max_new_tokens: int = 2048,
+        min_new_tokens: int = 2,
+        temperature: float = 0.9,
+        top_k: int = 50,
+        top_p: float = 1.0,
+        do_sample: bool = True,
+        repetition_penalty: float = 1.05,
+        chunk_size: int = 12,
+        xvec_only: bool = False,
+        non_streaming_mode: Optional[bool] = None,
+        append_silence: bool = True,
+        parity_mode: bool = False,
+        instruct: Optional[str] = None,
+        voice_clone_prompt=None,
+        seed: Optional[int] = None,
+    ) -> Generator[Tuple[np.ndarray, int, Dict[str, Any]], None, None]:
+        """Streaming voice clone: yields (audio_chunk, sample_rate, timing).
+        Mirrors reference model.py:952-1137 including the hybrid codec decode
+        (accumulate -> calibrate samples_per_frame -> 25-frame window)."""
+        nsm = self._resolve_non_streaming_mode(non_streaming_mode, default=False)
+        tie, tam, tth, tpe, ref_codes = self._prepare_generation(
+            text=text, language=language, ref_audio=ref_audio, ref_text=ref_text,
+            xvec_only=xvec_only, non_streaming_mode=nsm, append_silence=append_silence,
+            voice_clone_prompt=voice_clone_prompt, instruct=instruct,
+        )
+        stream = gen_lib.fast_generate_streaming(
+            self.params, self.config, tie, tam, tth, tpe,
+            max_seq_len=self.max_seq_len, max_new_tokens=max_new_tokens,
+            min_new_tokens=min_new_tokens, temperature=temperature, top_k=top_k,
+            top_p=top_p, do_sample=do_sample, repetition_penalty=repetition_penalty,
+            chunk_size=chunk_size, seed=seed,
+        )
+        yield from self._stream_decode(stream, chunk_size, ref_codes)
+
+    def _stream_decode(self, stream, chunk_size: int, ref_codes: Optional[np.ndarray]):
+        """Hybrid streaming vocoder decode (reference model.py:1046-1137)."""
+        context_frames = 25
+        min_calibration = max(context_frames, chunk_size)
+        all_codes: List[np.ndarray] = []
+        prev_len = 0
+        samples_per_frame = None
+        for codec_chunk, timing in stream:
+            all_codes.append(codec_chunk)
+            n_new = codec_chunk.shape[0]
+            all_flat = np.concatenate(all_codes, axis=0)
+            n_total = all_flat.shape[0]
+            if samples_per_frame is None:
+                codes_in = (
+                    np.concatenate([ref_codes, all_flat], axis=0)
+                    if ref_codes is not None
+                    else all_flat
+                )
+                audio_list, sr = self._speech_tokenizer.decode({"audio_codes": codes_in[None]})
+                audio = np.asarray(audio_list[0]).flatten()
+                if ref_codes is not None:
+                    cut = int(ref_codes.shape[0] / max(codes_in.shape[0], 1) * len(audio))
+                    gen_audio = audio[cut:]
+                else:
+                    gen_audio = audio
+                new_audio = gen_audio[prev_len:]
+                prev_len = len(gen_audio)
+                if n_total >= min_calibration:
+                    samples_per_frame = len(gen_audio) / n_total
+            else:
+                ctx_start = max(0, n_total - n_new - context_frames)
+                window = all_flat[ctx_start:]
+                n_ctx = window.shape[0] - n_new
+                audio_list, sr = self._speech_tokenizer.decode({"audio_codes": window[None]})
+                audio = np.asarray(audio_list[0]).flatten()
+                if n_ctx > 0:
+                    new_audio = audio[int(round(n_ctx * samples_per_frame)) :]
+                else:
+                    new_audio = audio
+            yield new_audio, self.sample_rate, timing
+
+    def generate_custom_voice(
+        self,
+        text: str,
+        speaker: str,
+        language: str,
+        instruct: Optional[str] = None,
+        non_streaming_mode: Optional[bool] = None,
+        max_new_tokens: int = 2048,
+        min_new_tokens: int = 2,
+        temperature: float = 0.9,
+        top_k: int = 50,
+        top_p: float = 1.0,
+        do_sample: bool = True,
+        repetition_penalty: float = 1.05,
+        seed: Optional[int] = None,
+    ) -> Tuple[List[np.ndarray], int]:
+        """CustomVoice TTS (reference model.py:1139-1221)."""
+        if self.tts_model_type != "custom_voice":
+            raise ValueError("Loaded model does not support custom voice generation")
+        self._validate_languages([language])
+        self._validate_speakers([speaker])
+        nsm = self._resolve_non_streaming_mode(non_streaming_mode, default=True)
+        if self.tts_model_size in "0b6":
+            instruct = None
+        tie, tam, tth, tpe = self._prepare_generation_custom(
+            text, language, speaker, instruct=instruct, non_streaming_mode=nsm
+        )
+        codec_ids, timing = gen_lib.fast_generate(
+            self.params, self.config, tie, tam, tth, tpe,
+            max_seq_len=self.max_seq_len, max_new_tokens=max_new_tokens,
+            min_new_tokens=min_new_tokens, temperature=temperature, top_k=top_k,
+            top_p=top_p, do_sample=do_sample, repetition_penalty=repetition_penalty,
+            seed=seed, device_chunk=self.device_chunk,
+        )
+        if codec_ids is None:
+            logger.warning("Generation returned no tokens")
+            return [np.zeros(1, np.float32)], self.sample_rate
+        audio, sr = self._decode_audio(codec_ids, None)
+        self._log_rtf(timing)
+        return audio, sr
+
+    def generate_custom_voice_streaming(
+        self,
+        text: str,
+        speaker: str,
+        language: str,
+        instruct: Optional[str] = None,
+        non_streaming_mode: Optional[bool] = None,
+        max_new_tokens: int = 2048,
+        min_new_tokens: int = 2,
+        temperature: float = 0.9,
+        top_k: int = 50,
+        top_p: float = 1.0,
+        do_sample: bool = True,
+        repetition_penalty: float = 1.05,
+        chunk_size: int = 12,
+        seed: Optional[int] = None,
+    ) -> Generator[Tuple[np.ndarray, int, Dict[str, Any]], None, None]:
+        if self.tts_model_type != "custom_voice":
+            raise ValueError("Loaded model does not support custom voice generation")
+        self._validate_languages([language])
+        self._validate_speakers([speaker])
+        nsm = self._resolve_non_streaming_mode(non_streaming_mode, default=True)
+        if self.tts_model_size in "0b6":
+            instruct = None
+        tie, tam, tth, tpe = self._prepare_generation_custom(
+            text, language, speaker, instruct=instruct, non_streaming_mode=nsm
+        )
+        stream = gen_lib.fast_generate_streaming(
+            self.params, self.config, tie, tam, tth, tpe,
+            max_seq_len=self.max_seq_len, max_new_tokens=max_new_tokens,
+            min_new_tokens=min_new_tokens, temperature=temperature, top_k=top_k,
+            top_p=top_p, do_sample=do_sample, repetition_penalty=repetition_penalty,
+            chunk_size=chunk_size, seed=seed,
+        )
+        yield from self._stream_decode(stream, chunk_size, None)
+
+    def generate_voice_design(
+        self,
+        text: str,
+        instruct: str,
+        language: str,
+        non_streaming_mode: Optional[bool] = None,
+        max_new_tokens: int = 2048,
+        min_new_tokens: int = 2,
+        temperature: float = 0.9,
+        top_k: int = 50,
+        top_p: float = 1.0,
+        do_sample: bool = True,
+        repetition_penalty: float = 1.05,
+        seed: Optional[int] = None,
+    ) -> Tuple[List[np.ndarray], int]:
+        """VoiceDesign TTS (reference model.py:1328-1405)."""
+        if self.tts_model_type != "voice_design":
+            raise ValueError("Loaded model does not support voice design generation")
+        self._validate_languages([language])
+        nsm = self._resolve_non_streaming_mode(non_streaming_mode, default=True)
+        tie, tam, tth, tpe = self._prepare_generation_custom(
+            text, language, None, instruct=instruct, non_streaming_mode=nsm
+        )
+        codec_ids, timing = gen_lib.fast_generate(
+            self.params, self.config, tie, tam, tth, tpe,
+            max_seq_len=self.max_seq_len, max_new_tokens=max_new_tokens,
+            min_new_tokens=min_new_tokens, temperature=temperature, top_k=top_k,
+            top_p=top_p, do_sample=do_sample, repetition_penalty=repetition_penalty,
+            seed=seed, device_chunk=self.device_chunk,
+        )
+        if codec_ids is None:
+            logger.warning("Generation returned no tokens")
+            return [np.zeros(1, np.float32)], self.sample_rate
+        audio, sr = self._decode_audio(codec_ids, None)
+        self._log_rtf(timing)
+        return audio, sr
+
+    def generate_voice_design_streaming(
+        self,
+        text: str,
+        instruct: str,
+        language: str,
+        non_streaming_mode: Optional[bool] = None,
+        max_new_tokens: int = 2048,
+        min_new_tokens: int = 2,
+        temperature: float = 0.9,
+        top_k: int = 50,
+        top_p: float = 1.0,
+        do_sample: bool = True,
+        repetition_penalty: float = 1.05,
+        chunk_size: int = 12,
+        seed: Optional[int] = None,
+    ) -> Generator[Tuple[np.ndarray, int, Dict[str, Any]], None, None]:
+        if self.tts_model_type != "voice_design":
+            raise ValueError("Loaded model does not support voice design generation")
+        self._validate_languages([language])
+        nsm = self._resolve_non_streaming_mode(non_streaming_mode, default=True)
+        tie, tam, tth, tpe = self._prepare_generation_custom(
+            text, language, None, instruct=instruct, non_streaming_mode=nsm
+        )
+        stream = gen_lib.fast_generate_streaming(
+            self.params, self.config, tie, tam, tth, tpe,
+            max_seq_len=self.max_seq_len, max_new_tokens=max_new_tokens,
+            min_new_tokens=min_new_tokens, temperature=temperature, top_k=top_k,
+            top_p=top_p, do_sample=do_sample, repetition_penalty=repetition_penalty,
+            chunk_size=chunk_size, seed=seed,
+        )
+        yield from self._stream_decode(stream, chunk_size, None)

@@ -1,0 +1,290 @@
+"""Talker prompt assembly: text/codec/speaker streams -> prefill embeddings.
+
+This owns what the reference re-implements locally from upstream
+(`_build_talker_inputs_local`, reference model.py:583-805, plus the upstream
+`generate_icl_prompt` / `generate_speaker_prompt` it calls) — the single most
+parity-critical piece of the system: a wrong prompt layout makes the model
+babble or loop (reference tests/test_e2e_parity.py:22-30).
+
+Layout summary (one batch item; every position is a talker-width vector,
+text-lane and codec-lane contributions are SUMMED position-wise):
+
+    [role hiddens (3)]
+    [tts_pad x k, tts_bos] + [codec think/language prefix, (speaker), codec_pad]
+    then ONE of:
+      non-ICL streaming : [first_text_tok + codec_bos]           (trailing = text[1:]+eos)
+      non-ICL nsm       : [(text+eos) + codec_pad ..., tts_pad + codec_bos]
+                                                                  (trailing = tts_pad)
+      ICL streaming     : [codec_bos + ref_text_0,
+                           ref_frame_i + ref_text_{i+1}/tts_pad ...]
+                                                                  (trailing = text+eos)
+      ICL nsm           : ICL streaming ++ [(text+eos) + codec_pad ...,
+                           tts_pad + codec_bos]                   (trailing = tts_pad)
+
+TPU-first implementation note: embedding gathers run as a handful of
+bucket-shaped jitted helpers (bounded compile count); the variable-length
+concatenation happens on host in numpy, and the finished prompt crosses to
+the device exactly once per request (a few hundred KB).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import Qwen3TTSConfig
+from .models import predictor as predictor_lib
+from .models import talker as talker_lib
+
+
+def _bucket(n: int, lo: int = 16) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _text_hidden_jit(tparams, ids):
+    return talker_lib.text_hidden(tparams, ids)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _codec_embed_jit(tparams, ids):
+    return talker_lib.embed_codec(tparams, ids)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _frame_embeds_jit(tparams, pparams, codes):
+    """codes [1, T, 16] -> per-frame summed embeddings [1, T, H]
+    (talker codebook-0 embed + 15 predictor codebook embeds — the same sum the
+    decode loop builds each step, reference generate.py:162-166)."""
+    cb0 = talker_lib.embed_codec(tparams, codes[:, :, 0])  # [B, T, H]
+    B, T = codes.shape[:2]
+    rest = predictor_lib.embed_frame_sum(pparams, codes.reshape(B * T, -1)[:, 1:])
+    return cb0 + rest.reshape(cb0.shape).astype(cb0.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _speaker_proj_jit(tparams, xvec):
+    return talker_lib.speaker_project(tparams, xvec)
+
+
+class PromptBuilder:
+    """Builds (talker_input_embeds, attention_mask, trailing_text_hiddens,
+    tts_pad_embed) for a batch of requests."""
+
+    def __init__(self, params: Dict[str, Any], cfg: Qwen3TTSConfig):
+        self.params = params
+        self.cfg = cfg
+        self._specials: Optional[Dict[str, np.ndarray]] = None
+
+    # -- bucketed host<->device helpers --------------------------------------
+
+    def _text_hidden(self, ids: np.ndarray) -> np.ndarray:
+        """ids [1, L] -> hiddens [L, H] (numpy f32)."""
+        L = ids.shape[1]
+        if L == 0:
+            return np.zeros((0, self._h()), np.float32)
+        b = _bucket(L)
+        padded = np.zeros((1, b), np.int32)
+        padded[:, :L] = ids
+        out = _text_hidden_jit(self.params["talker"], jnp.asarray(padded))
+        return np.asarray(out[0, :L], np.float32)
+
+    def _codec_embed(self, ids: Sequence[int]) -> np.ndarray:
+        ids = np.asarray(ids, np.int32).reshape(1, -1)
+        L = ids.shape[1]
+        b = _bucket(L, lo=8)
+        padded = np.zeros((1, b), np.int32)
+        padded[:, :L] = ids
+        out = _codec_embed_jit(self.params["talker"], jnp.asarray(padded))
+        return np.asarray(out[0, :L], np.float32)
+
+    def _frame_embeds(self, codes: np.ndarray) -> np.ndarray:
+        """codes [T, 16] -> [T, H]."""
+        T = codes.shape[0]
+        b = _bucket(T)
+        padded = np.zeros((1, b, codes.shape[1]), np.int32)
+        padded[0, :T] = codes
+        out = _frame_embeds_jit(self.params["talker"], self.params["predictor"], jnp.asarray(padded))
+        return np.asarray(out[0, :T], np.float32)
+
+    def _h(self) -> int:
+        return self.cfg.talker.hidden_size
+
+    def specials(self) -> Dict[str, np.ndarray]:
+        """Projected tts_bos/eos/pad text embeddings, cached (reference
+        model.py:647-655)."""
+        if self._specials is None:
+            c = self.cfg
+            ids = np.array([[c.tts_bos_token_id, c.tts_eos_token_id, c.tts_pad_token_id]], np.int32)
+            h = self._text_hidden(ids)
+            self._specials = {"bos": h[0], "eos": h[1], "pad": h[2]}
+        return self._specials
+
+    def speaker_embed_from_xvector(self, xvec: np.ndarray) -> np.ndarray:
+        """2048-d x-vector -> talker hidden (generate_speaker_prompt analog)."""
+        out = _speaker_proj_jit(self.params["talker"], jnp.asarray(xvec.reshape(1, -1), jnp.float32))
+        return np.asarray(out[0], np.float32)
+
+    # -- main assembly --------------------------------------------------------
+
+    def build(
+        self,
+        input_ids: List[np.ndarray],
+        ref_ids: List[Optional[np.ndarray]],
+        voice_clone_prompt: Optional[Dict[str, Any]],
+        languages: List[str],
+        speakers: Optional[List[Optional[str]]],
+        non_streaming_mode: bool,
+        instruct_ids: Optional[List[Optional[np.ndarray]]] = None,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """Returns (tie [B,P,H], attn_mask [B,P], tth [B,T,H], tpe [1,1,H]),
+        numpy f32, left-padded across the batch (reference model.py:771-805)."""
+        tc = self.cfg.talker
+        sp = self.specials()
+        tts_bos, tts_eos, tts_pad = sp["bos"], sp["eos"], sp["pad"]
+
+        if speakers is None:
+            speakers = [None] * len(input_ids)
+        if instruct_ids is None:
+            instruct_ids = [None] * len(input_ids)
+
+        embeds_per_item: List[np.ndarray] = []
+        trailing_per_item: List[np.ndarray] = []
+
+        for index, (ids, language, speaker) in enumerate(zip(input_ids, languages, speakers)):
+            parts: List[np.ndarray] = []
+
+            # 1) optional instruction turn (reference model.py:601-606)
+            iid = instruct_ids[index]
+            if iid is not None:
+                parts.append(self._text_hidden(np.asarray(iid).reshape(1, -1)))
+
+            # 2) speaker embedding resolution (reference model.py:614-629)
+            speaker_embed = None
+            if voice_clone_prompt is not None:
+                if voice_clone_prompt["x_vector_only_mode"][index] or voice_clone_prompt["icl_mode"][index]:
+                    xv = voice_clone_prompt["ref_spk_embedding"][index]
+                    speaker_embed = (
+                        np.asarray(xv, np.float32)
+                        if np.asarray(xv).ndim == 1 and np.asarray(xv).shape[0] == self._h()
+                        else self.speaker_embed_from_xvector(np.asarray(xv, np.float32))
+                    )
+            elif speaker:
+                key = speaker.lower()
+                if key not in tc.spk_id:
+                    raise NotImplementedError(f"Speaker {speaker} not implemented")
+                speaker_embed = self._codec_embed([tc.spk_id[key]])[0]
+
+            # 3) language -> codec think prefix (reference model.py:631-669)
+            assert language is not None
+            lang_key = language.lower()
+            if lang_key == "auto":
+                language_id = None
+            else:
+                if lang_key not in tc.codec_language_id:
+                    raise NotImplementedError(f"Language {language} not implemented")
+                language_id = tc.codec_language_id[lang_key]
+            if (
+                lang_key in ("chinese", "auto")
+                and speaker not in ("", None)
+                and tc.spk_is_dialect.get(speaker.lower())
+            ):
+                language_id = tc.codec_language_id[tc.spk_is_dialect[speaker.lower()]]
+
+            if language_id is None:
+                prefix_ids = [tc.codec_nothink_id, tc.codec_think_bos_id, tc.codec_think_eos_id]
+            else:
+                prefix_ids = [
+                    tc.codec_think_id,
+                    tc.codec_think_bos_id,
+                    language_id,
+                    tc.codec_think_eos_id,
+                ]
+
+            codec_seq = [self._codec_embed(prefix_ids)]
+            if speaker_embed is not None:
+                codec_seq.append(speaker_embed.reshape(1, -1))
+            codec_seq.append(self._codec_embed([tc.codec_pad_id, tc.codec_bos_id]))
+            codec_emb = np.concatenate(codec_seq, axis=0)  # [k, H]
+
+            # 4) role header + (pad...bos) + codec stream (reference model.py:686-697)
+            role = self._text_hidden(ids[:, :3])
+            k = codec_emb.shape[0]
+            text_lane = np.concatenate(
+                [np.tile(tts_pad[None, :], (k - 2, 1)), tts_bos[None, :]], axis=0
+            )
+            item = [role, text_lane + codec_emb[:-1]]
+
+            # 5) branch: ICL vs plain (reference model.py:699-766)
+            icl_mode = (
+                voice_clone_prompt is not None
+                and voice_clone_prompt.get("ref_code") is not None
+                and voice_clone_prompt["icl_mode"][index]
+                and voice_clone_prompt["ref_code"][index] is not None
+            )
+            text_ids = ids[:, 3:-5]
+            text_hiddens = self._text_hidden(text_ids)
+
+            if icl_mode:
+                rid = ref_ids[index]
+                ref_text_hiddens = self._text_hidden(np.asarray(rid)[:, 3:-2])
+                ref_code = np.asarray(voice_clone_prompt["ref_code"][index], np.int32)
+                frame_embs = self._frame_embeds(ref_code)  # [Tc, H]
+                Tc = frame_embs.shape[0]
+                # text lane across the ICL block: ref text then tts_pad
+                lane = np.tile(tts_pad[None, :], (Tc + 1, 1))
+                n = min(ref_text_hiddens.shape[0], Tc + 1)
+                lane[:n] = ref_text_hiddens[:n]
+                codec_lane = np.concatenate(
+                    [self._codec_embed([tc.codec_bos_id]), frame_embs], axis=0
+                )
+                item.append(lane + codec_lane)
+                if non_streaming_mode:
+                    pad_codec = self._codec_embed([tc.codec_pad_id])[0]
+                    block = np.concatenate([text_hiddens, tts_eos[None, :]], axis=0) + pad_codec
+                    tail = (tts_pad + self._codec_embed([tc.codec_bos_id])[0])[None, :]
+                    item.extend([block, tail])
+                    trailing = tts_pad[None, :]
+                else:
+                    trailing = np.concatenate([text_hiddens, tts_eos[None, :]], axis=0)
+            else:
+                first_tok_hidden = self._text_hidden(ids[:, 3:4])
+                if non_streaming_mode:
+                    pad_codec = self._codec_embed([tc.codec_pad_id])[0]
+                    block = np.concatenate([text_hiddens, tts_eos[None, :]], axis=0) + pad_codec
+                    tail = (tts_pad + self._codec_embed([tc.codec_bos_id])[0])[None, :]
+                    item.extend([block, tail])
+                    trailing = tts_pad[None, :]
+                else:
+                    item.append(first_tok_hidden + codec_emb[-1:])
+                    # step-fed text: tokens after the first + eos (model.py:758-766)
+                    rest = self._text_hidden(ids[:, 4:-5])
+                    trailing = np.concatenate([rest, tts_eos[None, :]], axis=0)
+
+            embeds_per_item.append(np.concatenate(item, axis=0))
+            trailing_per_item.append(trailing)
+
+        # 6) left-pad batching (reference model.py:771-787)
+        H = self._h()
+        max_len = max(e.shape[0] for e in embeds_per_item)
+        B = len(embeds_per_item)
+        tie = np.zeros((B, max_len, H), np.float32)
+        mask = np.zeros((B, max_len), np.int32)
+        for b, e in enumerate(embeds_per_item):
+            tie[b, max_len - e.shape[0] :] = e
+            mask[b, max_len - e.shape[0] :] = 1
+
+        # 7) trailing hiddens padded with the pad embedding (model.py:789-803)
+        max_t = max(t.shape[0] for t in trailing_per_item)
+        tth = np.tile(tts_pad[None, None, :], (B, max_t, 1))
+        for b, t in enumerate(trailing_per_item):
+            tth[b, : t.shape[0]] = t
+
+        tpe = tts_pad[None, None, :]
+        return tie, mask, tth, tpe

@@ -6,7 +6,6 @@ multi-chip sharding is validated on XLA's virtual host devices.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
@@ -14,6 +13,11 @@ os.environ.setdefault("FQ3T_DISABLE_PALLAS", "1")
 
 import pytest  # noqa: E402
 import jax  # noqa: E402
+
+# Force local CPU even when a TPU plugin was pre-registered at interpreter
+# start (env JAX_PLATFORMS is consulted before the plugin registers, so the
+# in-process config update is the reliable switch here).
+jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: compiles are expensive in this environment.
 jax.config.update("jax_compilation_cache_dir", "/tmp/fq3t_jax_cache")

@@ -1,0 +1,223 @@
+"""Public-API tests: the six generate methods, prompt validation, defaults.
+
+Mirrors the reference's Tier-B CPU strategy (SURVEY §4): no checkpoint, no
+accelerator — tiny random-weight models driven through the real public API
+(reference analogs: tests/test_voice_clone_prompt_api.py, the nsm-default
+matrix of tests/test_ggml_backend.py:139-203, and the structural
+`_assert_codec_output_valid` checks of tests/test_e2e_parity.py:40-101).
+"""
+import dataclasses
+
+import numpy as np
+import pytest
+
+from faster_qwen3_tts_tpu.model import FasterQwen3TTS, VoiceClonePromptItem
+from faster_qwen3_tts_tpu.utils.tokenizer import ByteTokenizer, PromptTokenizer
+from faster_qwen3_tts_tpu import weights as weights_lib
+
+MAXNEW = 12
+
+
+def _make_model(tiny_config, model_type="base"):
+    cfg = dataclasses.replace(
+        tiny_config,
+        model_type=model_type,
+        tts_bos_token_id=300,
+        tts_eos_token_id=301,
+        tts_pad_token_id=302,
+    )
+    if model_type == "custom_voice":
+        import faster_qwen3_tts_tpu.config as config_mod
+
+        talker = dataclasses.replace(
+            cfg.talker,
+            spk_id=config_mod._freeze({"aiden": 2180, "dylan": 2182}),
+            spk_is_dialect=config_mod._freeze({"aiden": False, "dylan": "beijing_dialect"}),
+        )
+        cfg = dataclasses.replace(cfg, talker=talker)
+    import jax.numpy as jnp
+
+    params = weights_lib.init_all(cfg, seed=0, dtype=jnp.float32)
+    model = FasterQwen3TTS(params, cfg, PromptTokenizer(ByteTokenizer()), max_seq_len=128)
+    model._warmed_up = True  # skip bulk AOT warmup in tests; compiles happen lazily
+    return model
+
+
+@pytest.fixture(scope="module")
+def base_model(tiny_config):
+    return _make_model(tiny_config, "base")
+
+
+@pytest.fixture(scope="module")
+def xvec_prompt():
+    rng = np.random.default_rng(0)
+    return {
+        "ref_spk_embedding": [rng.standard_normal(2048).astype(np.float32)],
+        "x_vector_only_mode": [True],
+        "icl_mode": [False],
+        "ref_code": [None],
+    }
+
+
+@pytest.fixture(scope="module")
+def icl_prompt():
+    rng = np.random.default_rng(1)
+    return {
+        "ref_spk_embedding": [rng.standard_normal(2048).astype(np.float32)],
+        "x_vector_only_mode": [False],
+        "icl_mode": [True],
+        "ref_code": [rng.integers(0, 2048, size=(10, 16)).astype(np.int32)],
+    }
+
+
+def test_voice_clone_xvec_only(base_model, xvec_prompt):
+    audio, sr = base_model.generate_voice_clone(
+        "Hello world.", "English", voice_clone_prompt=xvec_prompt,
+        max_new_tokens=MAXNEW, do_sample=False, seed=0,
+    )
+    assert sr == base_model.sample_rate
+    assert isinstance(audio, list) and audio[0].ndim == 1 and audio[0].size > 1000
+    assert np.abs(audio[0]).max() <= 1.0
+
+
+def test_voice_clone_icl(base_model, icl_prompt):
+    audio, sr = base_model.generate_voice_clone(
+        "Hello.", "English", ref_text="reference words",
+        voice_clone_prompt=icl_prompt, max_new_tokens=MAXNEW, do_sample=False, seed=0,
+    )
+    assert audio[0].size > 500  # ref portion trimmed off
+
+
+def test_streaming_chunks(base_model, xvec_prompt):
+    chunks = list(
+        base_model.generate_voice_clone_streaming(
+            "Stream me.", "English", voice_clone_prompt=xvec_prompt,
+            max_new_tokens=MAXNEW, chunk_size=4, do_sample=False, seed=0,
+        )
+    )
+    assert len(chunks) >= 2
+    total = 0
+    for i, (audio, sr, timing) in enumerate(chunks):
+        assert sr == base_model.sample_rate
+        assert timing["chunk_index"] == i
+        total += timing["chunk_steps"]
+        if i == 0:
+            assert timing["prefill_ms"] > 0
+        else:
+            assert timing["prefill_ms"] == 0
+    assert chunks[-1][2]["is_final"]
+    assert total == chunks[-1][2]["total_steps_so_far"] <= MAXNEW
+
+
+def test_streaming_audio_matches_non_streaming_length(base_model, xvec_prompt):
+    """Greedy + same seed -> identical token stream; concatenated streaming
+    audio must equal the non-streaming waveform length within the 25-frame
+    hybrid-decode calibration error (reference parity:
+    test_streaming_matches_non_streaming_prefix)."""
+    audio, _ = base_model.generate_voice_clone(
+        "Same text.", "English", voice_clone_prompt=xvec_prompt,
+        max_new_tokens=MAXNEW, do_sample=False, seed=7,
+    )
+    chunks = list(
+        base_model.generate_voice_clone_streaming(
+            "Same text.", "English", voice_clone_prompt=xvec_prompt,
+            max_new_tokens=MAXNEW, chunk_size=4, do_sample=False, seed=7,
+        )
+    )
+    streamed = np.concatenate([c[0] for c in chunks])
+    assert abs(streamed.size - audio[0].size) < 3 * 1920
+
+
+def test_custom_voice(tiny_config):
+    model = _make_model(tiny_config, "custom_voice")
+    audio, sr = model.generate_custom_voice(
+        "Custom.", speaker="aiden", language="English",
+        max_new_tokens=MAXNEW, do_sample=False, seed=0,
+    )
+    assert audio[0].size > 1000
+    with pytest.raises(NotImplementedError):
+        model.generate_custom_voice(
+            "x", speaker="nobody", language="English", max_new_tokens=4
+        )
+    assert model.get_supported_speakers() == ["aiden", "dylan"]
+
+
+def test_custom_voice_wrong_model_type(base_model):
+    with pytest.raises(ValueError):
+        base_model.generate_custom_voice("x", speaker="aiden", language="English")
+    with pytest.raises(ValueError):
+        base_model.generate_voice_design("x", instruct="warm", language="English")
+
+
+def test_voice_design(tiny_config):
+    model = _make_model(tiny_config, "voice_design")
+    audio, sr = model.generate_voice_design(
+        "Design.", instruct="A warm, confident narrator.", language="English",
+        max_new_tokens=MAXNEW, do_sample=False, seed=0,
+    )
+    assert audio[0].size > 1000
+
+
+def test_prompt_validation_errors(base_model, icl_prompt):
+    # inconsistent mode flags (reference model.py:370-378)
+    bad = dict(icl_prompt)
+    bad["x_vector_only_mode"] = [True]
+    with pytest.raises(ValueError, match="opposites"):
+        base_model.generate_voice_clone(
+            "x", "English", ref_text="t", voice_clone_prompt=bad, max_new_tokens=4
+        )
+    # ICL without ref_code (reference model.py:383-391)
+    bad2 = {
+        "ref_spk_embedding": icl_prompt["ref_spk_embedding"],
+        "icl_mode": [True],
+        "x_vector_only_mode": [False],
+        "ref_code": [None],
+    }
+    with pytest.raises(ValueError, match="ref_code is required"):
+        base_model.generate_voice_clone(
+            "x", "English", ref_text="t", voice_clone_prompt=bad2, max_new_tokens=4
+        )
+    # ICL without ref_text (reference model.py:401-405)
+    with pytest.raises(ValueError, match="ref_text is required"):
+        base_model.generate_voice_clone(
+            "x", "English", voice_clone_prompt=icl_prompt, max_new_tokens=4
+        )
+    # missing required key (reference model.py:352-358)
+    with pytest.raises(ValueError, match="ref_spk_embedding"):
+        base_model.generate_voice_clone(
+            "x", "English", voice_clone_prompt={"icl_mode": [False]}, max_new_tokens=4
+        )
+    # neither ref_audio nor prompt
+    with pytest.raises(ValueError, match="ref_audio is required"):
+        base_model.generate_voice_clone("x", "English", max_new_tokens=4)
+
+
+def test_nsm_defaults(base_model):
+    """None -> clone False, custom/design True (reference model.py:84-91,
+    877-880, 1161-1164, 1348-1351)."""
+    assert base_model._resolve_non_streaming_mode(None, default=False) is False
+    assert base_model._resolve_non_streaming_mode(None, default=True) is True
+    assert base_model._resolve_non_streaming_mode(True, default=False) is True
+    assert base_model._resolve_non_streaming_mode(False, default=True) is False
+
+
+def test_unknown_language(base_model, xvec_prompt):
+    with pytest.raises(NotImplementedError, match="Language"):
+        base_model.generate_voice_clone(
+            "x", "Klingon", voice_clone_prompt=xvec_prompt, max_new_tokens=4
+        )
+
+
+def test_prompt_items_list(base_model):
+    rng = np.random.default_rng(3)
+    items = [
+        VoiceClonePromptItem(
+            ref_spk_embedding=rng.standard_normal(2048).astype(np.float32),
+            x_vector_only_mode=True,
+        )
+    ]
+    audio, sr = base_model.generate_voice_clone(
+        "List prompt.", "English", voice_clone_prompt=items,
+        max_new_tokens=MAXNEW, do_sample=False, seed=0,
+    )
+    assert audio[0].size > 1000
