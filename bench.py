@@ -80,10 +80,13 @@ def run_bench(model_size: str, frames: int, chunk: int, runs: int, smoke: bool):
         audio_s = audio_samples / model.sample_rate
         return ttfa, audio_s / wall if wall > 0 else 0.0, n_frames, wall
 
-    # warmup run compiles everything
+    # warmup runs compile everything (streaming + non-streaming paths)
     log("warmup (compiles prefill/decode/codec executables)...")
     t0 = time.perf_counter()
     one_stream_run(0)
+    model.generate_voice_clone(
+        text, "English", voice_clone_prompt=prompt, max_new_tokens=frames, seed=0
+    )
     log(f"warmup done in {time.perf_counter()-t0:.1f}s")
 
     ttfas, rtfs = [], []

@@ -112,7 +112,9 @@ class GenerationSession:
         self.state = None
         self.prefill_ms = 0.0
 
-    def prefill(self) -> None:
+    def prefill(self, block: bool = True) -> None:
+        """Dispatch the prefill. With block=False it stays async (the first
+        chunk fetch syncs it) — saves one tunnel round trip of TTFA."""
         t0 = time.perf_counter()
         state, _ = core.start_state(
             self.params["talker"],
@@ -124,13 +126,15 @@ class GenerationSession:
             self.sampling,
             self.min_new_tokens,
         )
-        jax.block_until_ready(state.token)
         self.state = state
-        self.prefill_ms = (time.perf_counter() - t0) * 1000.0
+        if block:
+            np.asarray(state.token)  # force the round trip (honest timing)
+            self.prefill_ms = (time.perf_counter() - t0) * 1000.0
 
-    def decode_chunk(self, chunk_size: int) -> Tuple[np.ndarray, bool]:
-        """Run one fused chunk. Returns (valid frames [n,16] np.int32, done)."""
-        self.state, frames, valid = core.decode_chunk(
+    def decode_chunk_async(self, chunk_size: int) -> jax.Array:
+        """Dispatch one fused chunk; returns the packed device array WITHOUT
+        fetching (lets the caller pipeline dispatch-ahead)."""
+        self.state, packed = core.decode_chunk(
             self.params["talker"],
             self.params["predictor"],
             self.cfg.talker,
@@ -143,11 +147,18 @@ class GenerationSession:
             self.pred_sampling,
             self.min_new_tokens,
         )
-        frames_np = np.asarray(frames)  # [chunk, B, 16]
-        valid_np = np.asarray(valid)  # [chunk, B]
-        done = bool(np.asarray(self.state.done).all())
-        out = frames_np[valid_np[:, 0], 0]
-        return out.astype(np.int32), done
+        return packed
+
+    @staticmethod
+    def materialize(packed: jax.Array) -> Tuple[np.ndarray, bool]:
+        """ONE device->host fetch -> (valid frames [n,16] int32, done)."""
+        arr = np.asarray(packed)  # [chunk, B, 18]
+        valid = arr[:, 0, -2].astype(bool)
+        done = bool(arr[0, 0, -1])
+        return arr[valid, 0, :-2].astype(np.int32), done
+
+    def decode_chunk(self, chunk_size: int) -> Tuple[np.ndarray, bool]:
+        return self.materialize(self.decode_chunk_async(chunk_size))
 
 
 def fast_generate(
@@ -193,8 +204,10 @@ def fast_generate(
     chunks = []
     steps = 0
     while steps < max_new_tokens:
-        n = min(device_chunk, max_new_tokens - steps)
-        frames, done = sess.decode_chunk(n)
+        # Always dispatch the SAME static chunk size (one compiled executable);
+        # overshoot past max_new_tokens is trimmed on host.
+        frames, done = sess.decode_chunk(device_chunk)
+        frames = frames[: max_new_tokens - steps]
         if frames.shape[0]:
             chunks.append(frames)
             steps += frames.shape[0]
@@ -243,16 +256,25 @@ def fast_generate_streaming(
         params, cfg, tie, attention_mask, trailing_text, tts_pad_embed,
         max_seq_len, sampling, sampling, min_new_tokens, seed,
     )
-    sess.prefill()
+    # Async prefill: the first chunk's fetch syncs it (one fewer round trip
+    # on the TTFA path). prefill_ms is folded into the first decode_ms.
+    sess.prefill(block=False)
 
     total = 0
     chunk_index = 0
+    pending = sess.decode_chunk_async(chunk_size)
     while total < max_new_tokens:
         t0 = time.perf_counter()
-        n = min(chunk_size, max_new_tokens - total)
-        frames, done = sess.decode_chunk(n)
+        frames, done = sess.materialize(pending)
+        pending = None
+        frames = frames[: max_new_tokens - total]
         decode_ms = (time.perf_counter() - t0) * 1000.0
         stream_done = done or (total + frames.shape[0]) >= max_new_tokens
+        # Dispatch-ahead from the second chunk on: chunk k+1 computes on
+        # device while the consumer vocodes chunk k. (Not on chunk 0 — the
+        # first codec decode must not queue behind chunk 1, that's TTFA.)
+        if not stream_done and chunk_index >= 1:
+            pending = sess.decode_chunk_async(chunk_size)
         if frames.shape[0]:
             total += frames.shape[0]
             yield frames, {
@@ -266,3 +288,5 @@ def fast_generate_streaming(
             chunk_index += 1
         if stream_done:
             break
+        if pending is None:
+            pending = sess.decode_chunk_async(chunk_size)

@@ -81,6 +81,13 @@ class PromptBuilder:
         self.params = params
         self.cfg = cfg
         self._specials: Optional[Dict[str, np.ndarray]] = None
+        # Host-side memoization: every jitted gather is a device round trip
+        # (expensive through the TPU tunnel), so constant pieces — codec
+        # control-id embeds, role-header hiddens, projected x-vectors — are
+        # fetched once and reused across requests.
+        self._codec_embed_cache: Dict[tuple, np.ndarray] = {}
+        self._role_cache: Dict[tuple, np.ndarray] = {}
+        self._xvec_cache: Dict[bytes, np.ndarray] = {}
 
     # -- bucketed host<->device helpers --------------------------------------
 
@@ -96,13 +103,19 @@ class PromptBuilder:
         return np.asarray(out[0, :L], np.float32)
 
     def _codec_embed(self, ids: Sequence[int]) -> np.ndarray:
+        key = tuple(int(i) for i in np.asarray(ids).reshape(-1))
+        hit = self._codec_embed_cache.get(key)
+        if hit is not None:
+            return hit
         ids = np.asarray(ids, np.int32).reshape(1, -1)
         L = ids.shape[1]
         b = _bucket(L, lo=8)
         padded = np.zeros((1, b), np.int32)
         padded[:, :L] = ids
         out = _codec_embed_jit(self.params["talker"], jnp.asarray(padded))
-        return np.asarray(out[0, :L], np.float32)
+        result = np.asarray(out[0, :L], np.float32)
+        self._codec_embed_cache[key] = result
+        return result
 
     def _frame_embeds(self, codes: np.ndarray) -> np.ndarray:
         """codes [T, 16] -> [T, H]."""
@@ -128,8 +141,14 @@ class PromptBuilder:
 
     def speaker_embed_from_xvector(self, xvec: np.ndarray) -> np.ndarray:
         """2048-d x-vector -> talker hidden (generate_speaker_prompt analog)."""
+        key = np.ascontiguousarray(xvec, np.float32).tobytes()
+        hit = self._xvec_cache.get(key)
+        if hit is not None:
+            return hit
         out = _speaker_proj_jit(self.params["talker"], jnp.asarray(xvec.reshape(1, -1), jnp.float32))
-        return np.asarray(out[0], np.float32)
+        result = np.asarray(out[0], np.float32)
+        self._xvec_cache[key] = result
+        return result
 
     # -- main assembly --------------------------------------------------------
 
@@ -213,8 +232,12 @@ class PromptBuilder:
             codec_seq.append(self._codec_embed([tc.codec_pad_id, tc.codec_bos_id]))
             codec_emb = np.concatenate(codec_seq, axis=0)  # [k, H]
 
+            # One device round trip embeds the whole id sequence; role header,
+            # body text, and step-fed slices all come from it.
+            full_h = self._text_hidden(ids)
+
             # 4) role header + (pad...bos) + codec stream (reference model.py:686-697)
-            role = self._text_hidden(ids[:, :3])
+            role = full_h[:3]
             k = codec_emb.shape[0]
             text_lane = np.concatenate(
                 [np.tile(tts_pad[None, :], (k - 2, 1)), tts_bos[None, :]], axis=0
@@ -228,8 +251,7 @@ class PromptBuilder:
                 and voice_clone_prompt["icl_mode"][index]
                 and voice_clone_prompt["ref_code"][index] is not None
             )
-            text_ids = ids[:, 3:-5]
-            text_hiddens = self._text_hidden(text_ids)
+            text_hiddens = full_h[3:-5]
 
             if icl_mode:
                 rid = ref_ids[index]
@@ -254,7 +276,7 @@ class PromptBuilder:
                 else:
                     trailing = np.concatenate([text_hiddens, tts_eos[None, :]], axis=0)
             else:
-                first_tok_hidden = self._text_hidden(ids[:, 3:4])
+                first_tok_hidden = full_h[3:4]
                 if non_streaming_mode:
                     pad_codec = self._codec_embed([tc.codec_pad_id])[0]
                     block = np.concatenate([text_hiddens, tts_eos[None, :]], axis=0) + pad_codec
@@ -264,8 +286,7 @@ class PromptBuilder:
                 else:
                     item.append(first_tok_hidden + codec_emb[-1:])
                     # step-fed text: tokens after the first + eos (model.py:758-766)
-                    rest = self._text_hidden(ids[:, 4:-5])
-                    trailing = np.concatenate([rest, tts_eos[None, :]], axis=0)
+                    trailing = np.concatenate([full_h[4:-5], tts_eos[None, :]], axis=0)
 
             embeds_per_item.append(np.concatenate(item, axis=0))
             trailing_per_item.append(trailing)

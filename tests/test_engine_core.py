@@ -61,9 +61,10 @@ def test_decode_chunk_emits_frames(tiny_config, params, rng):
     state, _, sampling = _start(tiny_config, params, rng)
     tth = jax.random.normal(rng, (1, 4, cfg.hidden_size), jnp.float32) * 0.1
     tpe = jnp.zeros((1, 1, cfg.hidden_size), jnp.float32)
-    state, frames, valid = core.decode_chunk(
+    state, packed = core.decode_chunk(
         tp, pp, cfg, pcfg, state, tth, tpe, 6, sampling, sampling, 2
     )
+    frames, valid = packed[:, :, :-2], packed[:, :, -2].astype(bool)
     assert frames.shape == (6, 1, 16)
     assert valid.shape == (6, 1)
     # Random weights essentially never sample EOS within the suppress band, so
@@ -85,9 +86,10 @@ def test_eos_stops_generation(tiny_config, params, rng):
     state = state._replace(token=jnp.full_like(state.token, cfg.codec_eos_token_id))
     tth = jnp.zeros((1, 2, cfg.hidden_size), jnp.float32)
     tpe = jnp.zeros((1, 1, cfg.hidden_size), jnp.float32)
-    state, frames, valid = core.decode_chunk(
+    state, packed = core.decode_chunk(
         tp, pp, cfg, pcfg, state, tth, tpe, 4, sampling, sampling, 0
     )
+    valid = packed[:, :, -2].astype(bool)
     assert not bool(jnp.any(valid))
     assert bool(state.done[0])
     assert int(state.n_frames[0]) == 0
@@ -101,10 +103,10 @@ def test_max_seq_bound(tiny_config, params, rng):
     state = state._replace(pos=jnp.full_like(state.pos, MAX_SEQ - 1))
     tth = jnp.zeros((1, 2, cfg.hidden_size), jnp.float32)
     tpe = jnp.zeros((1, 1, cfg.hidden_size), jnp.float32)
-    state, frames, valid = core.decode_chunk(
+    state, packed = core.decode_chunk(
         tp, pp, cfg, pcfg, state, tth, tpe, 4, sampling, sampling, 0
     )
-    v = np.asarray(valid)[:, 0]
+    v = np.asarray(packed[:, :, -2].astype(bool))[:, 0]
     assert v[0] and not v[1:].any()
 
 
@@ -118,10 +120,10 @@ def test_greedy_determinism(tiny_config, params, rng):
         state, _, sampling = _start(tiny_config, params, rng)
         tth = jax.random.normal(jax.random.PRNGKey(3), (1, 4, cfg.hidden_size), jnp.float32) * 0.1
         tpe = jnp.zeros((1, 1, cfg.hidden_size), jnp.float32)
-        state, frames, valid = core.decode_chunk(
+        state, packed = core.decode_chunk(
             tp, pp, cfg, pcfg, state, tth, tpe, 8, sampling, sampling, 2
         )
-        outs.append(np.asarray(frames))
+        outs.append(np.asarray(packed[:, :, :-2]))
     np.testing.assert_array_equal(outs[0], outs[1])
 
 
@@ -146,8 +148,8 @@ def test_left_padding_invariance(tiny_config, params, rng):
         )
         tth = jax.random.normal(jax.random.PRNGKey(3), (1, 4, cfg.hidden_size), jnp.float32) * 0.1
         tpe = jnp.zeros((1, 1, cfg.hidden_size), jnp.float32)
-        state, frames, valid = core.decode_chunk(
+        state, packed = core.decode_chunk(
             tp, pp, cfg, pcfg, state, tth, tpe, 6, sampling, sampling, 2
         )
-        outs.append(np.asarray(frames))
+        outs.append(np.asarray(packed[:, :, :-2]))
     np.testing.assert_array_equal(outs[0], outs[1])

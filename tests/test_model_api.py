@@ -101,9 +101,10 @@ def test_streaming_chunks(base_model, xvec_prompt):
         assert sr == base_model.sample_rate
         assert timing["chunk_index"] == i
         total += timing["chunk_steps"]
-        if i == 0:
-            assert timing["prefill_ms"] > 0
-        else:
+        assert timing["decode_ms"] > 0
+        if i > 0:
+            # prefill is dispatched async; its cost folds into chunk 0's
+            # decode_ms and later chunks report no prefill time
             assert timing["prefill_ms"] == 0
     assert chunks[-1][2]["is_final"]
     assert total == chunks[-1][2]["total_steps_so_far"] <= MAXNEW
