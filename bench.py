@@ -35,7 +35,7 @@ BASELINE_RTF = {"0.6b": 4.78, "1.7b": 4.22}
 BASELINE_TTFA_MS = {"0.6b": 156.0, "1.7b": 174.0}
 
 
-def run_bench(model_size: str, frames: int, chunk: int, runs: int, smoke: bool):
+def run_bench(model_size: str, frames: int, chunk: int, runs: int, smoke: bool, quant: str = "BF16"):
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/fq3t_jax_cache")
@@ -47,7 +47,7 @@ def run_bench(model_size: str, frames: int, chunk: int, runs: int, smoke: bool):
     name = {"0.6b": "Qwen/Qwen3-TTS-12Hz-0.6B-Base", "1.7b": "Qwen/Qwen3-TTS-12Hz-1.7B-Base"}[model_size]
     log(f"backend={jax.default_backend()} devices={jax.devices()}")
     log(f"loading {name} (random-init, real geometry)...")
-    model = FasterQwen3TTS.from_pretrained(name, max_seq_len=2048)
+    model = FasterQwen3TTS.from_pretrained(name, max_seq_len=2048, quant=quant)
     if smoke:
         frames = min(frames, 24)
 
@@ -121,6 +121,7 @@ def run_bench(model_size: str, frames: int, chunk: int, runs: int, smoke: bool):
             "frames": frames,
             "baseline_rtf_rtx4090": BASELINE_RTF[model_size],
             "baseline_ttfa_ms_rtx4090": BASELINE_TTFA_MS[model_size],
+            "quant": quant,
         },
     }
 
@@ -132,8 +133,9 @@ def main():
     ap.add_argument("--chunk", type=int, default=8)
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--quant", default="BF16")
     args = ap.parse_args()
-    result = run_bench(args.model, args.frames, args.chunk, args.runs, args.smoke)
+    result = run_bench(args.model, args.frames, args.chunk, args.runs, args.smoke, args.quant)
     print(json.dumps(result))
 
 

@@ -138,6 +138,7 @@ class FasterQwen3TTS:
         attn_implementation: str = "pallas",
         max_seq_len: int = 2048,
         backend: str = "jax",
+        quant: str = "BF16",
         seed: int = 0,
         cache_dir: Optional[Union[str, Path]] = None,
         local_files_only: bool = False,
@@ -150,6 +151,9 @@ class FasterQwen3TTS:
         a directory with upstream HF safetensors.
         backend: "jax" (default). "native" routes host pre/post-processing
         through the C++ runtime (see native_backend.py).
+        quant: "BF16" (default) or "Q8_0"/"int8" — weight-only int8 for the
+        talker+predictor matmuls (halves decode HBM traffic; the reference's
+        GGML quant surface, cli.py:357).
         """
         if backend in ("native",):
             from .native_backend import NativeQwen3TTS
@@ -189,6 +193,11 @@ class FasterQwen3TTS:
                 )
                 params = weights_lib.init_all(config, seed=seed, dtype=dtype)
                 tok = PromptTokenizer(load_tokenizer(None))
+
+        from .ops import quant as quant_lib
+
+        if quant_lib.resolve_quant_name(quant) == "int8":
+            params = quant_lib.quantize_model_params(params)
         return cls(params, config, tok, max_seq_len=max_seq_len, dtype=dtype)
 
     # ---------------------------------------------------------------- warmup

@@ -54,11 +54,7 @@ def rms_norm(w: jax.Array, x: jax.Array, eps: float) -> jax.Array:
     return (w.astype(jnp.float32) * y).astype(dtype)
 
 
-def _dot(x: jax.Array, w: jax.Array) -> jax.Array:
-    """x @ w with f32 accumulation, result in x.dtype."""
-    return jax.lax.dot_general(
-        x, w, (((x.ndim - 1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(x.dtype)
+from ..ops.quant import dot as _dot  # handles plain + int8-quantized weights
 
 
 def rope_cos_sin(positions: jax.Array, head_dim: int, theta: float) -> Tuple[jax.Array, jax.Array]:

@@ -22,6 +22,8 @@ import jax
 import jax.numpy as jnp
 
 from ..config import PredictorConfig
+from ..ops import quant
+from ..ops.quant import QuantizedLinear
 from ..ops.sampling import SamplingParams, sample_logits
 from . import layers
 from .layers import KVCache, LayerShape
@@ -73,9 +75,7 @@ def init_params(seed: int, cfg: PredictorConfig, talker_hidden: int, dtype=jnp.b
 
 def mtp_project(params, x: jax.Array) -> jax.Array:
     p = params["mtp_proj"]
-    y = jax.lax.dot_general(
-        x, p["w"], (((x.ndim - 1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    y = quant.dot(x, p["w"]).astype(jnp.float32)
     return (y + p["b"].astype(jnp.float32)).astype(x.dtype)
 
 
@@ -105,10 +105,12 @@ def embed_frame_sum(params, codebook_tokens: jax.Array) -> jax.Array:
 
 def _head_logits(params, cb_index, h: jax.Array) -> jax.Array:
     """lm_head[cb_index] over h [B, pred_hidden] -> [B, codebook_vocab] f32."""
-    w = params["lm_heads"][cb_index]
-    return jax.lax.dot_general(
-        h, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    heads = params["lm_heads"]
+    if isinstance(heads, QuantizedLinear):
+        w = QuantizedLinear(q=heads.q[cb_index], scale=heads.scale[cb_index])
+    else:
+        w = heads[cb_index]
+    return quant.dot(h, w).astype(jnp.float32)
 
 
 def predict_codebooks(

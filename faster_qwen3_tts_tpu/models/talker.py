@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import TalkerConfig
+from ..ops import quant
 from . import layers
 from .layers import KVCache, LayerShape
 
@@ -76,9 +77,7 @@ def embed_text(params, ids: jax.Array) -> jax.Array:
 
 def text_project(params, x: jax.Array) -> jax.Array:
     p = params["text_proj"]
-    y = jax.lax.dot_general(
-        x, p["w"], (((x.ndim - 1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    y = quant.dot(x, p["w"]).astype(jnp.float32)
     return (y + p["b"].astype(jnp.float32)).astype(x.dtype)
 
 
@@ -92,12 +91,7 @@ def embed_codec(params, ids: jax.Array) -> jax.Array:
 
 
 def codec_logits(params, h: jax.Array) -> jax.Array:
-    return jax.lax.dot_general(
-        h,
-        params["codec_head"],
-        (((h.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    return quant.dot(h, params["codec_head"]).astype(jnp.float32)
 
 
 def speaker_project(params, xvec: jax.Array) -> jax.Array:
