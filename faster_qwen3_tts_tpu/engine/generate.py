@@ -160,6 +160,45 @@ class GenerationSession:
     def decode_chunk(self, chunk_size: int) -> Tuple[np.ndarray, bool]:
         return self.materialize(self.decode_chunk_async(chunk_size))
 
+    # -- fused decode+vocode streaming (engine/fused_stream.py) ---------------
+
+    def set_codec_history(self, frames: np.ndarray, ctx: int) -> None:
+        """Upload the rolling codec context window (last `ctx` frames)."""
+        self.hist = jnp.asarray(frames[-ctx:][None], jnp.int32)
+
+    def decode_chunk_fused_async(self, chunk_size: int, ctx: int) -> jax.Array:
+        from . import fused_stream
+
+        if ctx == 0:
+            hist = jnp.zeros((1, 1, self.cfg.talker.num_code_groups), jnp.int32)
+        else:
+            hist = self.hist
+        self.state, self.hist, flat = fused_stream.decode_chunk_fused(
+            self.params["talker"],
+            self.params["predictor"],
+            self.params["codec"],
+            self.cfg.talker,
+            self.cfg.predictor,
+            self.cfg.codec,
+            self.state,
+            hist,
+            self.tth,
+            self.tpe,
+            chunk_size,
+            ctx,
+            self.sampling,
+            self.pred_sampling,
+            self.min_new_tokens,
+        )
+        return flat
+
+    def materialize_fused(self, flat: jax.Array, chunk_size: int):
+        from . import fused_stream
+
+        return fused_stream.split_fused_output(
+            flat, chunk_size, 1, self.cfg.talker.num_code_groups, self.cfg.codec.total_upsample
+        )
+
 
 def fast_generate(
     params,
@@ -290,3 +329,100 @@ def fast_generate_streaming(
             break
         if pending is None:
             pending = sess.decode_chunk_async(chunk_size)
+
+
+def fast_generate_streaming_fused(
+    params,
+    cfg: Qwen3TTSConfig,
+    tie,
+    attention_mask,
+    trailing_text,
+    tts_pad_embed,
+    max_seq_len: int = 2048,
+    max_new_tokens: int = 2048,
+    min_new_tokens: int = 2,
+    temperature: float = 0.9,
+    top_k: int = 50,
+    top_p: float = 1.0,
+    do_sample: bool = True,
+    repetition_penalty: float = 1.05,
+    chunk_size: int = 12,
+    seed: Optional[int] = None,
+    context_frames: int = 25,
+    fuse_first_chunk: bool = True,
+) -> Generator[Tuple[np.ndarray, Optional[np.ndarray], Dict[str, Any]], None, None]:
+    """Streaming generation with the fused decode+vocode path.
+
+    Yields (frames [n,16], audio [m] float32 or None, timing). Audio comes
+    straight out of the fused executable for the first chunk (ctx=0) and for
+    steady-state chunks once `context_frames` of history exist; in-between
+    chunks yield audio=None and the caller vocodes them host-side (the
+    reference's phase-1 accumulated decode, model.py:1085-1114). Set
+    fuse_first_chunk=False when the caller must prepend ICL reference codes
+    to the very first vocoder call.
+    """
+    from . import fused_stream
+
+    sampling = SamplingParams(temperature, top_k, top_p, do_sample, repetition_penalty)
+    sess = GenerationSession(
+        params, cfg, tie, attention_mask, trailing_text, tts_pad_embed,
+        max_seq_len, sampling, sampling, min_new_tokens, seed,
+    )
+    sess.prefill(block=False)
+    sess.hist = None
+    up = cfg.codec.total_upsample
+    D = fused_stream.codec_deficit(cfg.codec)
+
+    history: list = []
+    total = 0
+    chunk_index = 0
+
+    def dispatch(idx: int):
+        """Queue the chunk with index `idx` on the device."""
+        if idx == 0 and fuse_first_chunk:
+            return ("fused0", sess.decode_chunk_fused_async(chunk_size, 0))
+        if total >= context_frames:
+            if sess.hist is None:
+                sess.set_codec_history(np.concatenate(history, axis=0), context_frames)
+            return ("fused", sess.decode_chunk_fused_async(chunk_size, context_frames))
+        return ("plain", sess.decode_chunk_async(chunk_size))
+
+    pending = dispatch(0)
+    while total < max_new_tokens:
+        t0 = time.perf_counter()
+        kind, dev = pending
+        pending = None
+        if kind == "plain":
+            frames, done = sess.materialize(dev)
+            audio = None
+        else:
+            audio_full, frames, done, _emitted = sess.materialize_fused(dev, chunk_size)
+            v = frames.shape[0]
+            n_emit = max(v * up - D, 0) if kind == "fused0" else v * up
+            audio = audio_full[0, :n_emit]
+        frames = frames[: max_new_tokens - total]
+        decode_ms = (time.perf_counter() - t0) * 1000.0
+        stream_done = done or (total + frames.shape[0]) >= max_new_tokens
+        if frames.shape[0]:
+            history.append(frames)
+            if kind == "plain":
+                sess.hist = None  # device window stale; re-upload on next fused
+            total += frames.shape[0]
+        # dispatch-ahead from the second chunk on (chunk 0's audio path must
+        # not queue behind chunk 1 — that is the TTFA path)
+        if not stream_done and chunk_index >= 1:
+            pending = dispatch(chunk_index + 1)
+        if frames.shape[0]:
+            yield frames, audio, {
+                "chunk_index": chunk_index,
+                "chunk_steps": int(frames.shape[0]),
+                "prefill_ms": sess.prefill_ms if chunk_index == 0 else 0.0,
+                "decode_ms": decode_ms,
+                "total_steps_so_far": total,
+                "is_final": bool(stream_done),
+            }
+            chunk_index += 1
+        if stream_done:
+            break
+        if pending is None:
+            pending = dispatch(chunk_index)

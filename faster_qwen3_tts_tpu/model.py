@@ -586,54 +586,59 @@ class FasterQwen3TTS:
             xvec_only=xvec_only, non_streaming_mode=nsm, append_silence=append_silence,
             voice_clone_prompt=voice_clone_prompt, instruct=instruct,
         )
-        stream = gen_lib.fast_generate_streaming(
-            self.params, self.config, tie, tam, tth, tpe,
-            max_seq_len=self.max_seq_len, max_new_tokens=max_new_tokens,
-            min_new_tokens=min_new_tokens, temperature=temperature, top_k=top_k,
-            top_p=top_p, do_sample=do_sample, repetition_penalty=repetition_penalty,
-            chunk_size=chunk_size, seed=seed,
-        )
+        if parity_mode:
+            # Parity path: plain (non-fused) chunk executables + host-side
+            # vocoding — an independent second implementation of the stream,
+            # the role the reference's dynamic-cache parity path plays
+            # (reference streaming.py:191-359).
+            stream = gen_lib.fast_generate_streaming(
+                self.params, self.config, tie, tam, tth, tpe,
+                max_seq_len=self.max_seq_len, max_new_tokens=max_new_tokens,
+                min_new_tokens=min_new_tokens, temperature=temperature, top_k=top_k,
+                top_p=top_p, do_sample=do_sample, repetition_penalty=repetition_penalty,
+                chunk_size=chunk_size, seed=seed,
+            )
+            stream = ((f, None, t) for f, t in stream)
+        else:
+            stream = gen_lib.fast_generate_streaming_fused(
+                self.params, self.config, tie, tam, tth, tpe,
+                max_seq_len=self.max_seq_len, max_new_tokens=max_new_tokens,
+                min_new_tokens=min_new_tokens, temperature=temperature, top_k=top_k,
+                top_p=top_p, do_sample=do_sample, repetition_penalty=repetition_penalty,
+                chunk_size=chunk_size, seed=seed,
+                fuse_first_chunk=ref_codes is None,
+            )
         yield from self._stream_decode(stream, chunk_size, ref_codes)
 
     def _stream_decode(self, stream, chunk_size: int, ref_codes: Optional[np.ndarray]):
-        """Hybrid streaming vocoder decode (reference model.py:1046-1137)."""
-        context_frames = 25
-        min_calibration = max(context_frames, chunk_size)
+        """Streaming vocoder: fused chunks arrive with audio already decoded
+        on device (engine/fused_stream.py); early/ICL chunks without audio use
+        the reference's phase-1 accumulated host decode (model.py:1085-1114).
+        Sample alignment across the two paths is exact for non-ICL and within
+        one frame for ICL (the reference's own calibration tolerance)."""
         all_codes: List[np.ndarray] = []
-        prev_len = 0
-        samples_per_frame = None
-        for codec_chunk, timing in stream:
+        prev_len = 0  # samples already emitted, generated-audio coordinates
+        for codec_chunk, fused_audio, timing in stream:
             all_codes.append(codec_chunk)
-            n_new = codec_chunk.shape[0]
+            if fused_audio is not None:
+                prev_len += len(fused_audio)
+                yield fused_audio, self.sample_rate, timing
+                continue
             all_flat = np.concatenate(all_codes, axis=0)
-            n_total = all_flat.shape[0]
-            if samples_per_frame is None:
-                codes_in = (
-                    np.concatenate([ref_codes, all_flat], axis=0)
-                    if ref_codes is not None
-                    else all_flat
-                )
-                audio_list, sr = self._speech_tokenizer.decode({"audio_codes": codes_in[None]})
-                audio = np.asarray(audio_list[0]).flatten()
-                if ref_codes is not None:
-                    cut = int(ref_codes.shape[0] / max(codes_in.shape[0], 1) * len(audio))
-                    gen_audio = audio[cut:]
-                else:
-                    gen_audio = audio
-                new_audio = gen_audio[prev_len:]
-                prev_len = len(gen_audio)
-                if n_total >= min_calibration:
-                    samples_per_frame = len(gen_audio) / n_total
+            codes_in = (
+                np.concatenate([ref_codes, all_flat], axis=0)
+                if ref_codes is not None
+                else all_flat
+            )
+            audio_list, sr = self._speech_tokenizer.decode({"audio_codes": codes_in[None]})
+            audio = np.asarray(audio_list[0]).flatten()
+            if ref_codes is not None:
+                cut = int(ref_codes.shape[0] / max(codes_in.shape[0], 1) * len(audio))
+                gen_audio = audio[cut:]
             else:
-                ctx_start = max(0, n_total - n_new - context_frames)
-                window = all_flat[ctx_start:]
-                n_ctx = window.shape[0] - n_new
-                audio_list, sr = self._speech_tokenizer.decode({"audio_codes": window[None]})
-                audio = np.asarray(audio_list[0]).flatten()
-                if n_ctx > 0:
-                    new_audio = audio[int(round(n_ctx * samples_per_frame)) :]
-                else:
-                    new_audio = audio
+                gen_audio = audio
+            new_audio = gen_audio[prev_len:]
+            prev_len = len(gen_audio)
             yield new_audio, self.sample_rate, timing
 
     def generate_custom_voice(
@@ -704,7 +709,7 @@ class FasterQwen3TTS:
         tie, tam, tth, tpe = self._prepare_generation_custom(
             text, language, speaker, instruct=instruct, non_streaming_mode=nsm
         )
-        stream = gen_lib.fast_generate_streaming(
+        stream = gen_lib.fast_generate_streaming_fused(
             self.params, self.config, tie, tam, tth, tpe,
             max_seq_len=self.max_seq_len, max_new_tokens=max_new_tokens,
             min_new_tokens=min_new_tokens, temperature=temperature, top_k=top_k,
@@ -773,7 +778,7 @@ class FasterQwen3TTS:
         tie, tam, tth, tpe = self._prepare_generation_custom(
             text, language, None, instruct=instruct, non_streaming_mode=nsm
         )
-        stream = gen_lib.fast_generate_streaming(
+        stream = gen_lib.fast_generate_streaming_fused(
             self.params, self.config, tie, tam, tth, tpe,
             max_seq_len=self.max_seq_len, max_new_tokens=max_new_tokens,
             min_new_tokens=min_new_tokens, temperature=temperature, top_k=top_k,

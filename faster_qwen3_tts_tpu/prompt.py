@@ -242,7 +242,8 @@ class PromptBuilder:
             text_lane = np.concatenate(
                 [np.tile(tts_pad[None, :], (k - 2, 1)), tts_bos[None, :]], axis=0
             )
-            item = [role, text_lane + codec_emb[:-1]]
+            # instruct turn (if any) goes FIRST (reference model.py:601-606)
+            item = parts + [role, text_lane + codec_emb[:-1]]
 
             # 5) branch: ICL vs plain (reference model.py:699-766)
             icl_mode = (

@@ -1,0 +1,163 @@
+"""OpenAI-compatible TTS server: POST /v1/audio/speech (+ /health).
+
+Same HTTP contract as the reference's FastAPI server (reference
+examples/openai_server.py:214-265): OpenAI TTS request body, wav/pcm
+streaming responses (wav header with unknown length), a voices.json registry
+mapping voice names to reference audio, and a device mutex serializing
+generation. Built on aiohttp (the async stack available in this image);
+the blocking generator runs in a producer thread bridged by a queue
+(reference openai_server.py:171-206).
+
+Run:  python servers/openai_server.py --model <id> [--voices voices.json]
+"""
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import logging
+import queue
+import sys
+import threading
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+from aiohttp import web
+
+from faster_qwen3_tts_tpu.utils.audio import float_to_pcm16, wav_header
+
+logger = logging.getLogger("openai_server")
+
+_model = None
+_model_lock = asyncio.Lock()
+_voices = {}
+
+
+def load_voices(path):
+    """voices.json: {"alloy": {"ref_audio": "...", "ref_text": "...",
+    "xvec_only": false, "language": "English"}, ...}
+    (the registry pattern of reference openai_server.py:146-163)."""
+    global _voices
+    if path and Path(path).exists():
+        with open(path) as f:
+            _voices = json.load(f)
+
+
+def resolve_voice(name: str) -> dict:
+    if name in _voices:
+        return _voices[name]
+    if _voices:
+        return next(iter(_voices.values()))
+    raise web.HTTPBadRequest(
+        text=json.dumps({"error": f"unknown voice {name!r} and no voices registered"}),
+        content_type="application/json",
+    )
+
+
+def _stream_chunks(text: str, voice: dict, chunk_size: int, out_q: queue.Queue):
+    """Producer thread: run the blocking streaming generator, push PCM16."""
+    try:
+        gen = _model.generate_voice_clone_streaming(
+            text,
+            voice.get("language", "English"),
+            ref_audio=voice.get("ref_audio"),
+            ref_text=voice.get("ref_text", ""),
+            xvec_only=bool(voice.get("xvec_only", False)),
+            chunk_size=chunk_size,
+            voice_clone_prompt=voice.get("voice_clone_prompt"),
+        )
+        for audio, sr, timing in gen:
+            out_q.put(float_to_pcm16(audio))
+        out_q.put(None)
+    except Exception as e:  # surface errors to the consumer
+        logger.exception("generation failed")
+        out_q.put(e)
+
+
+async def create_speech(request: web.Request) -> web.StreamResponse:
+    body = await request.json()
+    text = body.get("input")
+    if not text:
+        raise web.HTTPBadRequest(
+            text=json.dumps({"error": "missing 'input'"}), content_type="application/json"
+        )
+    fmt = body.get("response_format", "wav")
+    if fmt not in ("wav", "pcm"):
+        raise web.HTTPBadRequest(
+            text=json.dumps({"error": f"unsupported response_format {fmt!r} (wav|pcm)"}),
+            content_type="application/json",
+        )
+    voice = resolve_voice(body.get("voice", "default"))
+    chunk_size = int(body.get("chunk_size", 8))
+
+    resp = web.StreamResponse(
+        status=200,
+        headers={"Content-Type": "audio/wav" if fmt == "wav" else "audio/pcm"},
+    )
+    await resp.prepare(request)
+
+    async with _model_lock:  # one request owns the chip at a time
+        if fmt == "wav":
+            # unknown-length header (reference openai_server.py:96-113)
+            await resp.write(wav_header(_model.sample_rate))
+        out_q: queue.Queue = queue.Queue(maxsize=8)
+        t = threading.Thread(
+            target=_stream_chunks, args=(text, voice, chunk_size, out_q), daemon=True
+        )
+        t.start()
+        loop = asyncio.get_event_loop()
+        while True:
+            item = await loop.run_in_executor(None, out_q.get)
+            if item is None:
+                break
+            if isinstance(item, Exception):
+                break
+            await resp.write(item)
+    await resp.write_eof()
+    return resp
+
+
+async def health(request: web.Request) -> web.Response:
+    return web.json_response(
+        {
+            "status": "ok",
+            "model_loaded": _model is not None,
+            "sample_rate": getattr(_model, "sample_rate", None),
+            "voices": sorted(_voices.keys()),
+        }
+    )
+
+
+def make_app() -> web.Application:
+    app = web.Application()
+    app.router.add_post("/v1/audio/speech", create_speech)
+    app.router.add_get("/health", health)
+    return app
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="Qwen/Qwen3-TTS-12Hz-0.6B-Base")
+    ap.add_argument("--quant", default="BF16")
+    ap.add_argument("--backend", default="jax")
+    ap.add_argument("--voices", default=None, help="voices.json registry")
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8880)
+    ap.add_argument("--warmup", action="store_true", help="compile before serving")
+    args = ap.parse_args()
+
+    logging.basicConfig(level=logging.INFO)
+    global _model
+    from faster_qwen3_tts_tpu.model import FasterQwen3TTS
+
+    _model = FasterQwen3TTS.from_pretrained(args.model, backend=args.backend, quant=args.quant)
+    load_voices(args.voices)
+    if args.warmup:
+        _model.warmup()
+    web.run_app(make_app(), host=args.host, port=args.port)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+"""Native library (libfq3t) binding tests + fallback parity.
+
+Counterpart of the reference's fake-runtime GGML adapter tests
+(tests/test_ggml_backend.py) — here the native library is in-tree and real,
+so tests exercise the actual .so when built and the numpy fallback always.
+"""
+import numpy as np
+import pytest
+
+from faster_qwen3_tts_tpu.utils import audio as audio_lib
+from faster_qwen3_tts_tpu.utils import native
+
+
+def test_pcm16_roundtrip():
+    x = np.linspace(-1, 1, 1000).astype(np.float32)
+    pcm = native.float_to_pcm16(x)
+    back = np.frombuffer(pcm, "<i2").astype(np.float32) / 32767.0
+    assert np.abs(back - x).max() < 1e-3
+
+
+def test_resample_tone_preserved():
+    """A 440 Hz tone resampled 16k->24k must stay a 440 Hz tone."""
+    sr_in, sr_out = 16000, 24000
+    t = np.arange(sr_in) / sr_in
+    x = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    y = native.resample(x, sr_in, sr_out)
+    assert abs(len(y) - sr_out) <= 2
+    # dominant FFT bin ~440 Hz
+    spec = np.abs(np.fft.rfft(y[: sr_out // 2]))
+    freq = np.fft.rfftfreq(sr_out // 2, 1 / sr_out)
+    assert abs(freq[np.argmax(spec)] - 440) < 5
+
+
+def test_wav_write_read(tmp_path):
+    x = (np.sin(np.linspace(0, 40 * np.pi, 4800)) * 0.5).astype(np.float32)
+    p = tmp_path / "t.wav"
+    native.write_wav(p, x, 24000)
+    back, sr = audio_lib.read_wav(p)
+    assert sr == 24000
+    assert np.abs(back - x).max() < 1e-3
+
+
+@pytest.mark.skipif(not native.available(), reason="libfq3t.so not built")
+def test_native_matches_numpy_resample():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(8000).astype(np.float32) * 0.3
+    # lowpass the noise so both resamplers see band-limited content
+    x = np.convolve(x, np.ones(8) / 8, mode="same").astype(np.float32)
+    y_native = native.resample(x, 16000, 24000)
+    y_np = audio_lib.resample(x, 16000, 24000)
+    n = min(len(y_native), len(y_np)) - 100
+    err = np.abs(y_native[50:n] - y_np[50:n])
+    assert err.mean() < 0.01
+
+
+@pytest.mark.skipif(not native.available(), reason="libfq3t.so not built")
+def test_ring_buffer():
+    rb = native.RingBuffer(1024)
+    data = np.arange(300, dtype=np.float32)
+    assert rb.write(data) == 300
+    assert rb.available() == 300
+    out = rb.read(100)
+    np.testing.assert_array_equal(out, data[:100])
+    assert rb.available() == 200
+    # wrap-around
+    rb.write(np.arange(800, dtype=np.float32))
+    assert rb.available() <= 1024
