@@ -1,0 +1,111 @@
+"""Fused streaming vs plain (parity-mode) streaming equivalence.
+
+The role of the reference's static-vs-dynamic parity layer
+(tests/test_e2e_parity.py Layer 1): two independent implementations of the
+same stream — the fused decode+vocode path and the plain chunked path with
+host vocoding — must produce identical greedy token streams, and their audio
+must be sample-aligned within the documented tolerance.
+"""
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from faster_qwen3_tts_tpu import weights as weights_lib
+from faster_qwen3_tts_tpu.model import FasterQwen3TTS
+from faster_qwen3_tts_tpu.utils.tokenizer import ByteTokenizer, PromptTokenizer
+
+FRAMES = 40  # enough to cross the 25-frame context threshold into fused phase 2
+
+
+@pytest.fixture(scope="module")
+def model(tiny_config):
+    cfg = dataclasses.replace(
+        tiny_config, tts_bos_token_id=300, tts_eos_token_id=301, tts_pad_token_id=302
+    )
+    params = weights_lib.init_all(cfg, seed=0, dtype=jnp.float32)
+    m = FasterQwen3TTS(params, cfg, PromptTokenizer(ByteTokenizer()), max_seq_len=128)
+    m._warmed_up = True
+    return m
+
+
+@pytest.fixture(scope="module")
+def prompt():
+    rng = np.random.default_rng(0)
+    return {
+        "ref_spk_embedding": [rng.standard_normal(2048).astype(np.float32)],
+        "x_vector_only_mode": [True],
+        "icl_mode": [False],
+        "ref_code": [None],
+    }
+
+
+def _collect(model, prompt, parity: bool):
+    frames, audio = [], []
+    from faster_qwen3_tts_tpu.engine import generate as gen_lib
+
+    tie, tam, tth, tpe, _rc = model._prepare_generation(
+        text="stream parity text", language="English", voice_clone_prompt=prompt,
+        non_streaming_mode=False,
+    )
+    if parity:
+        stream = (
+            (f, None, t)
+            for f, t in gen_lib.fast_generate_streaming(
+                model.params, model.config, tie, tam, tth, tpe,
+                max_seq_len=model.max_seq_len, max_new_tokens=FRAMES,
+                do_sample=False, chunk_size=8, seed=5,
+            )
+        )
+    else:
+        stream = gen_lib.fast_generate_streaming_fused(
+            model.params, model.config, tie, tam, tth, tpe,
+            max_seq_len=model.max_seq_len, max_new_tokens=FRAMES,
+            do_sample=False, chunk_size=8, seed=5,
+        )
+    for f, a, timing in stream:
+        frames.append(f)
+        audio.append(a)
+    return np.concatenate(frames, axis=0), audio
+
+
+def test_fused_tokens_match_plain(model, prompt):
+    fused_frames, fused_audio = _collect(model, prompt, parity=False)
+    plain_frames, plain_audio = _collect(model, prompt, parity=True)
+    np.testing.assert_array_equal(fused_frames, plain_frames)
+    assert fused_frames.shape == (FRAMES, 16)
+    # plain path yields no audio; fused yields audio for chunk 0 and for
+    # steady-state chunks past the 25-frame context threshold
+    assert fused_audio[0] is not None  # fused0
+    assert fused_audio[-1] is not None  # steady state
+    assert all(a is None for a in plain_audio)
+
+
+def test_fused_audio_contiguous_with_host_vocode(model, prompt):
+    """Full API streaming: fused-path audio must line up with the host-vocoded
+    full decode: total sample count within one frame of T*up - D."""
+    chunks = list(
+        model.generate_voice_clone_streaming(
+            "stream parity text", "English", voice_clone_prompt=prompt,
+            max_new_tokens=FRAMES, chunk_size=8, do_sample=False, seed=5,
+        )
+    )
+    streamed = np.concatenate([c[0] for c in chunks])
+    up = model.config.codec.total_upsample
+    from faster_qwen3_tts_tpu.engine.fused_stream import codec_deficit
+
+    D = codec_deficit(model.config.codec)
+    expected = FRAMES * up - D
+    assert abs(streamed.size - expected) <= up
+    # non-streaming decode of the same greedy tokens
+    audio, sr = model.generate_voice_clone(
+        "stream parity text", "English", voice_clone_prompt=prompt,
+        max_new_tokens=FRAMES, do_sample=False, seed=5,
+    )
+    # same token stream -> same total duration (within one frame)
+    assert abs(audio[0].size - streamed.size) <= up
+    # and the overlapping early samples must match closely (both decode the
+    # same codes with full left context there)
+    n = 10 * up
+    np.testing.assert_allclose(streamed[:n], audio[0][:n], atol=5e-4, rtol=1e-3)
