@@ -128,12 +128,14 @@ def run_bench(model_size: str, frames: int, chunk: int, runs: int, smoke: bool, 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", default="1.7b", choices=["0.6b", "1.7b"])
-    ap.add_argument("--frames", type=int, default=240)
+    # default 0.6b/Q8_0: compiles through the remote service are expensive,
+    # and the driver's unattended run must complete reliably
+    ap.add_argument("--model", default="0.6b", choices=["0.6b", "1.7b"])
+    ap.add_argument("--frames", type=int, default=120)
     ap.add_argument("--chunk", type=int, default=8)
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--smoke", action="store_true")
-    ap.add_argument("--quant", default="BF16")
+    ap.add_argument("--quant", default="Q8_0")
     args = ap.parse_args()
     result = run_bench(args.model, args.frames, args.chunk, args.runs, args.smoke, args.quant)
     print(json.dumps(result))

@@ -429,8 +429,6 @@ class FasterQwen3TTS:
             non_streaming_mode=non_streaming_mode,
             instruct_ids=instruct_ids,
         )
-        if not self._warmed_up:
-            self.warmup(tie.shape[1])
         ref_codes = None
         if using_icl and vcp.get("ref_code") and vcp["ref_code"][0] is not None:
             ref_codes = np.asarray(vcp["ref_code"][0], np.int32)
@@ -450,8 +448,6 @@ class FasterQwen3TTS:
             non_streaming_mode=non_streaming_mode,
             instruct_ids=instruct_ids,
         )
-        if not self._warmed_up:
-            self.warmup(tie.shape[1])
         return tie, tam, tth, tpe
 
     # -- validation helpers (reference _validate_languages/_validate_speakers)
