@@ -81,9 +81,16 @@ def run_bench(model_size: str, frames: int, chunk: int, runs: int, smoke: bool, 
         return ttfa, audio_s / wall if wall > 0 else 0.0, n_frames, wall
 
     # warmup runs compile everything (streaming + non-streaming paths)
-    log("warmup (compiles prefill/decode/codec executables)...")
+    log("warmup: streaming path (prefill/decode/vocode compiles)...")
     t0 = time.perf_counter()
-    one_stream_run(0)
+    n = 0
+    for _ in model.generate_voice_clone_streaming(
+        text, "English", voice_clone_prompt=prompt, max_new_tokens=frames,
+        chunk_size=chunk, seed=0,
+    ):
+        n += 1
+        log(f"  warmup stream chunk {n} at {time.perf_counter()-t0:.0f}s")
+    log(f"warmup: non-streaming path at {time.perf_counter()-t0:.0f}s...")
     model.generate_voice_clone(
         text, "English", voice_clone_prompt=prompt, max_new_tokens=frames, seed=0
     )

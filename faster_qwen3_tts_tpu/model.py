@@ -71,24 +71,21 @@ class SpeechTokenizerFacade:
     def _decode_one(self, codes: np.ndarray) -> np.ndarray:
         T = codes.shape[0]
         cfg = self._cfg.codec
-        up = cfg.total_upsample
         # Exact-length output of the decoder geometry for T frames:
         exact = self._exact_len(T)
-        if T <= 64:
-            wav = codec_lib.decode_frames_jit(
-                self._params["codec"], cfg, jnp.asarray(codes[None], jnp.int32)
-            )
-            return np.asarray(wav[0], np.float32)
-        # Long sequences: pad frame count to a bucket by repeating the last
-        # frame (causal decoder => earlier samples unaffected; the repeated
-        # tail keeps the lookahead region acoustically continuous), then cut
-        # to the exact unpadded length. Bounds compile count for arbitrary T.
-        bucket = 64
+        # EVERY decode is padded to a power-of-two frame bucket by repeating
+        # the last frame, then cut to the exact unpadded length. The decoder
+        # is causal, so earlier samples are unaffected; only the ~2-frame
+        # lookahead tail sees the repeated padding (acoustically continuous).
+        # Rationale: each fresh codec shape costs a full XLA compile — this
+        # caps the compile count at a handful of buckets for ANY workload.
+        bucket = 32
         while bucket < T:
             bucket *= 2
-        padded = np.concatenate([codes, np.tile(codes[-1:], (bucket - T, 1))], axis=0)
+        if bucket > T:
+            codes = np.concatenate([codes, np.tile(codes[-1:], (bucket - T, 1))], axis=0)
         wav = codec_lib.decode_frames_jit(
-            self._params["codec"], cfg, jnp.asarray(padded[None], jnp.int32)
+            self._params["codec"], cfg, jnp.asarray(codes[None], jnp.int32)
         )
         return np.asarray(wav[0, :exact], np.float32)
 
