@@ -188,13 +188,18 @@ class FasterQwen3TTS:
                     "(benchmark/test mode).",
                     model_name,
                 )
-                params = weights_lib.init_all(config, seed=seed, dtype=dtype)
+                params = weights_lib.init_all(
+                    config, seed=seed, dtype=dtype, device_put=False
+                )
                 tok = PromptTokenizer(load_tokenizer(None))
 
         from .ops import quant as quant_lib
 
         if quant_lib.resolve_quant_name(quant) == "int8":
             params = quant_lib.quantize_model_params(params)
+        # ONE batched transfer for the whole bundle (per-array transfers
+        # dominate load time through tunneled device connections).
+        params = jax.device_put(params)
         return cls(params, config, tok, max_seq_len=max_seq_len, dtype=dtype)
 
     # ---------------------------------------------------------------- warmup

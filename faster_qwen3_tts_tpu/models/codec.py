@@ -254,19 +254,22 @@ def chunked_decode(
 def init_params(seed: int, cfg: CodecConfig, dtype=jnp.float32):
     import numpy as np
 
+    from .layers import _np_dtype
+
+    np_dtype = _np_dtype(dtype)
     rng = np.random.default_rng(seed)
 
     def arr(x):
-        return jnp.asarray(x, dtype=dtype)
+        return np.asarray(x, np_dtype)
 
     def zeros(*shape):
-        return arr(np.zeros(shape, np.float32))
+        return np.zeros(shape, np_dtype)
 
     def ones(*shape):
-        return arr(np.ones(shape, np.float32))
+        return np.ones(shape, np_dtype)
 
     def full(shape, v):
-        return arr(np.full(shape, v, np.float32))
+        return np.full(shape, v, np_dtype)
 
     def conv(cin, cout, k, groups=1):
         # 0.5x gain keeps the randomly-initialized stack out of the +-1 clamp

@@ -57,6 +57,17 @@ def rms_norm(w: jax.Array, x: jax.Array, eps: float) -> jax.Array:
 from ..ops.quant import dot as _dot  # handles plain + int8-quantized weights
 
 
+def _np_dtype(dtype):
+    """jnp dtype -> numpy dtype usable for host-side param construction."""
+    import numpy as np
+
+    import ml_dtypes
+
+    if dtype == jnp.bfloat16:
+        return ml_dtypes.bfloat16
+    return np.dtype(dtype)
+
+
 def rope_cos_sin(positions: jax.Array, head_dim: int, theta: float) -> Tuple[jax.Array, jax.Array]:
     """positions [..., S] -> cos/sin [..., S, head_dim] (HF 'cat' layout)."""
     half = head_dim // 2
@@ -251,22 +262,22 @@ def init_stacked_layers(
     """Random-init stacked decoder-layer params (testing / benchmarking when
     no checkpoint is available; real weights come from weights.load_pretrained).
 
-    Uses host-side numpy RNG: param init must not trigger per-shape XLA
-    compiles (eager jax op dispatch is expensive in this environment).
+    Host-side numpy ONLY (ml_dtypes for bf16): init must neither trigger
+    per-shape XLA compiles nor per-array device transfers — the caller ships
+    the whole pytree in one batched jax.device_put (weights.init_all).
     """
     import numpy as np
 
+    np_dtype = _np_dtype(dtype)
     rng = np.random.default_rng(seed)
     s = lambda *shape: (num_layers,) + shape
 
     def init(*shape, scale=None):
         fan_in = shape[-2] if len(shape) >= 2 else shape[-1]
         scale = scale if scale is not None else fan_in**-0.5
-        return jnp.asarray(
-            rng.standard_normal(s(*shape), dtype=np.float32) * scale, dtype=dtype
-        )
+        return (rng.standard_normal(s(*shape), dtype=np.float32) * scale).astype(np_dtype)
 
-    ones = lambda *shape: jnp.asarray(np.ones(s(*shape), np.float32), dtype=dtype)
+    ones = lambda *shape: np.ones(s(*shape), np_dtype)
     return {
         "wq": init(hidden, q_dim),
         "wk": init(hidden, kv_dim),

@@ -42,18 +42,19 @@ def layer_shape(cfg: PredictorConfig) -> LayerShape:
 def init_params(seed: int, cfg: PredictorConfig, talker_hidden: int, dtype=jnp.bfloat16):
     import numpy as np
 
+    np_dtype = layers._np_dtype(dtype)
     rng = np.random.default_rng(seed)
 
     def init(*shape, scale=None):
         fan_in = shape[-2] if len(shape) >= 2 else shape[-1]
         scale = scale if scale is not None else fan_in**-0.5
-        return jnp.asarray(rng.standard_normal(shape, dtype=np.float32) * scale, dtype=dtype)
+        return (rng.standard_normal(shape, dtype=np.float32) * scale).astype(np_dtype)
 
     return {
         # small_to_mtp_projection (reference predictor_graph.py:54)
         "mtp_proj": {
             "w": init(talker_hidden, cfg.hidden_size),
-            "b": jnp.asarray(np.zeros((cfg.hidden_size,), np.float32), dtype=dtype),
+            "b": np.zeros((cfg.hidden_size,), np_dtype),
         },
         # per-codebook embeddings, stacked: [15, codebook_vocab, talker_hidden]
         "codec_embeds": init(cfg.num_codebooks, cfg.vocab_size, talker_hidden, scale=0.02),
@@ -69,7 +70,7 @@ def init_params(seed: int, cfg: PredictorConfig, talker_hidden: int, dtype=jnp.b
             cfg.intermediate_size,
             dtype,
         ),
-        "final_norm": jnp.asarray(np.ones((cfg.hidden_size,), np.float32), dtype=dtype),
+        "final_norm": np.ones((cfg.hidden_size,), np_dtype),
     }
 
 

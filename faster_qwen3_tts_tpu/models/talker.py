@@ -36,14 +36,15 @@ def layer_shape(cfg: TalkerConfig) -> LayerShape:
 def init_params(seed: int, cfg: TalkerConfig, dtype=jnp.bfloat16):
     import numpy as np
 
+    np_dtype = layers._np_dtype(dtype)
     rng = np.random.default_rng(seed)
 
     def init(*shape, scale=None):
         fan_in = shape[0] if len(shape) >= 2 else shape[-1]
         scale = scale if scale is not None else fan_in**-0.5
-        return jnp.asarray(rng.standard_normal(shape, dtype=np.float32) * scale, dtype=dtype)
+        return (rng.standard_normal(shape, dtype=np.float32) * scale).astype(np_dtype)
 
-    zeros = lambda *shape: jnp.asarray(np.zeros(shape, np.float32), dtype=dtype)
+    zeros = lambda *shape: np.zeros(shape, np_dtype)
     return {
         "text_embed": init(cfg.text_vocab_size, cfg.text_hidden_size, scale=0.02),
         "text_proj": {
@@ -66,7 +67,7 @@ def init_params(seed: int, cfg: TalkerConfig, dtype=jnp.bfloat16):
             cfg.intermediate_size,
             dtype,
         ),
-        "final_norm": jnp.asarray(np.ones((cfg.hidden_size,), np.float32), dtype=dtype),
+        "final_norm": np.ones((cfg.hidden_size,), np_dtype),
     }
 
 

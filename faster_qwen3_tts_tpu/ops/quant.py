@@ -29,12 +29,18 @@ class QuantizedLinear(NamedTuple):
     scale: jax.Array
 
 
-def quantize_linear(w: jax.Array) -> QuantizedLinear:
-    wf = jnp.asarray(w, jnp.float32)
-    scale = jnp.max(jnp.abs(wf), axis=-2, keepdims=True) / 127.0
-    scale = jnp.maximum(scale, 1e-12)
-    q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
-    return QuantizedLinear(q=q, scale=scale)
+def quantize_linear(w) -> QuantizedLinear:
+    """Quantize on HOST (numpy): quantization runs once at load time, and
+    eager device ops are expensive in tunneled environments. Accepts numpy or
+    device arrays; returns numpy leaves (shipped with the batched device_put
+    in weights.init_all / model load)."""
+    import numpy as np
+
+    wf = np.asarray(w, np.float32)
+    scale = np.max(np.abs(wf), axis=-2, keepdims=True) / 127.0
+    scale = np.maximum(scale, 1e-12)
+    q = np.clip(np.round(wf / scale), -127, 127).astype(np.int8)
+    return QuantizedLinear(q=q, scale=scale.astype(np.float32))
 
 
 def dot(x: jax.Array, w) -> jax.Array:

@@ -28,9 +28,16 @@ from .models import predictor as predictor_lib
 from .models import talker as talker_lib
 
 
-def init_all(cfg: Qwen3TTSConfig, seed: int = 0, dtype=jnp.bfloat16) -> Dict[str, Any]:
-    """Random-init parameters for the full model bundle."""
-    return {
+def init_all(
+    cfg: Qwen3TTSConfig, seed: int = 0, dtype=jnp.bfloat16, device_put: bool = True
+) -> Dict[str, Any]:
+    """Random-init parameters for the full model bundle.
+
+    Construction is pure host numpy; the finished pytree ships to the device
+    in ONE batched jax.device_put (per-array transfers each pay a host<->device
+    round trip, which dominates load time on tunneled TPU setups).
+    """
+    params = {
         "talker": talker_lib.init_params(seed, cfg.talker, dtype=dtype),
         "predictor": predictor_lib.init_params(
             seed + 1000, cfg.predictor, cfg.talker.hidden_size, dtype=dtype
@@ -39,6 +46,11 @@ def init_all(cfg: Qwen3TTSConfig, seed: int = 0, dtype=jnp.bfloat16) -> Dict[str
         # FLOPs and waveform quality is sensitive to mantissa width.
         "codec": codec_lib.init_params(seed + 2000, cfg.codec, dtype=jnp.float32),
     }
+    if device_put:
+        import jax
+
+        params = jax.device_put(params)
+    return params
 
 
 # ---------------------------------------------------------------------------
