@@ -20,9 +20,13 @@ Prints ONE JSON line on stdout; human-readable detail goes to stderr.
 from __future__ import annotations
 
 import argparse
+import faulthandler
 import json
+import signal
 import sys
 import time
+
+faulthandler.register(signal.SIGUSR1)  # kill -USR1 <pid> dumps all stacks
 
 import numpy as np
 
