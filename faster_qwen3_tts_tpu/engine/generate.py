@@ -348,8 +348,8 @@ def fast_generate_streaming_fused(
     repetition_penalty: float = 1.05,
     chunk_size: int = 12,
     seed: Optional[int] = None,
-    context_frames: int = 25,
-    fuse_first_chunk: bool = True,
+    context_frames: int = 24,
+    fuse_first_chunk: bool = False,
 ) -> Generator[Tuple[np.ndarray, Optional[np.ndarray], Dict[str, Any]], None, None]:
     """Streaming generation with the fused decode+vocode path.
 

@@ -75,9 +75,9 @@ def test_fused_tokens_match_plain(model, prompt):
     plain_frames, plain_audio = _collect(model, prompt, parity=True)
     np.testing.assert_array_equal(fused_frames, plain_frames)
     assert fused_frames.shape == (FRAMES, 16)
-    # plain path yields no audio; fused yields audio for chunk 0 and for
-    # steady-state chunks past the 25-frame context threshold
-    assert fused_audio[0] is not None  # fused0
+    # plain path yields no audio; the fused pump host-vocodes early chunks
+    # (fuse_first_chunk defaults off to save a compile) and emits device
+    # audio once past the context threshold
     assert fused_audio[-1] is not None  # steady state
     assert all(a is None for a in plain_audio)
 
