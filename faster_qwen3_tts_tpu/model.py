@@ -604,7 +604,10 @@ class FasterQwen3TTS:
                 min_new_tokens=min_new_tokens, temperature=temperature, top_k=top_k,
                 top_p=top_p, do_sample=do_sample, repetition_penalty=repetition_penalty,
                 chunk_size=chunk_size, seed=seed,
-                fuse_first_chunk=ref_codes is None,
+                # fuse_first_chunk stays off: the ctx=0 vocode variant costs
+                # one extra full codec compile for ~30 ms of TTFA; ICL also
+                # requires the host path for the ref-code prepend.
+                fuse_first_chunk=False,
             )
         yield from self._stream_decode(stream, chunk_size, ref_codes)
 
