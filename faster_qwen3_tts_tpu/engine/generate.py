@@ -377,11 +377,18 @@ def fast_generate_streaming_fused(
     total = 0
     chunk_index = 0
 
+    import os
+
+    # Device-side vocode fusion is opt-in: the extra executable pays one more
+    # full codec compile, which is only worth it on deployments with a fast
+    # compiler (or a warm on-disk executable cache).
+    fused_enabled = bool(os.environ.get("FQ3T_FUSED_VOCODE"))
+
     def dispatch(idx: int):
         """Queue the chunk with index `idx` on the device."""
-        if idx == 0 and fuse_first_chunk:
+        if idx == 0 and fuse_first_chunk and fused_enabled:
             return ("fused0", sess.decode_chunk_fused_async(chunk_size, 0))
-        if total >= context_frames:
+        if fused_enabled and total >= context_frames:
             if sess.hist is None:
                 sess.set_codec_history(np.concatenate(history, axis=0), context_frames)
             return ("fused", sess.decode_chunk_fused_async(chunk_size, context_frames))

@@ -612,11 +612,20 @@ class FasterQwen3TTS:
         yield from self._stream_decode(stream, chunk_size, ref_codes)
 
     def _stream_decode(self, stream, chunk_size: int, ref_codes: Optional[np.ndarray]):
-        """Streaming vocoder: fused chunks arrive with audio already decoded
-        on device (engine/fused_stream.py); early/ICL chunks without audio use
-        the reference's phase-1 accumulated host decode (model.py:1085-1114).
-        Sample alignment across the two paths is exact for non-ICL and within
-        one frame for ICL (the reference's own calibration tolerance)."""
+        """Streaming vocoder with three regimes (reference model.py:1046-1137):
+        1. fused chunks: audio already decoded on device (opt-in,
+           engine/fused_stream.py);
+        2. early/ICL chunks: accumulated host decode through the bucketed
+           codec facade (reference phase 1);
+        3. steady state: fixed 24-frame-left-context window decode, emitting
+           window-local samples [ctx*up - D : (ctx+new)*up - D) — sample-exact
+           contiguity by construction (vs the reference's empirical
+           samples_per_frame calibration, model.py:1108-1114)."""
+        from .engine.fused_stream import codec_deficit
+
+        ctx = 24
+        up = self.config.codec.total_upsample
+        D = codec_deficit(self.config.codec)
         all_codes: List[np.ndarray] = []
         prev_len = 0  # samples already emitted, generated-audio coordinates
         for codec_chunk, fused_audio, timing in stream:
@@ -625,7 +634,20 @@ class FasterQwen3TTS:
                 prev_len += len(fused_audio)
                 yield fused_audio, self.sample_rate, timing
                 continue
+            n_new = codec_chunk.shape[0]
             all_flat = np.concatenate(all_codes, axis=0)
+            n_total = all_flat.shape[0]
+            n_hist = n_total - n_new
+            if n_hist >= ctx:
+                # regime 3: fixed-context window (always the same codec bucket)
+                window = all_flat[-(ctx + n_new):]
+                audio_list, sr = self._speech_tokenizer.decode({"audio_codes": window[None]})
+                audio = np.asarray(audio_list[0]).flatten()
+                new_audio = audio[ctx * up - D : (ctx + n_new) * up - D]
+                prev_len += len(new_audio)
+                yield new_audio, self.sample_rate, timing
+                continue
+            # regime 2: accumulated decode (with ICL ref-code prepend)
             codes_in = (
                 np.concatenate([ref_codes, all_flat], axis=0)
                 if ref_codes is not None

@@ -75,11 +75,32 @@ def test_fused_tokens_match_plain(model, prompt):
     plain_frames, plain_audio = _collect(model, prompt, parity=True)
     np.testing.assert_array_equal(fused_frames, plain_frames)
     assert fused_frames.shape == (FRAMES, 16)
-    # plain path yields no audio; the fused pump host-vocodes early chunks
-    # (fuse_first_chunk defaults off to save a compile) and emits device
-    # audio once past the context threshold
-    assert fused_audio[-1] is not None  # steady state
+    # device vocode is opt-in (FQ3T_FUSED_VOCODE); by default both pumps
+    # yield tokens only and the model layer host-vocodes
     assert all(a is None for a in plain_audio)
+
+
+def test_device_vocode_matches_host(model, prompt, monkeypatch):
+    """With FQ3T_FUSED_VOCODE on, device-vocoded chunks must match the host
+    windowed vocode sample-for-sample (same codes, same math)."""
+    host_chunks = list(
+        model.generate_voice_clone_streaming(
+            "stream parity text", "English", voice_clone_prompt=prompt,
+            max_new_tokens=FRAMES, chunk_size=8, do_sample=False, seed=5,
+        )
+    )
+    monkeypatch.setenv("FQ3T_FUSED_VOCODE", "1")
+    dev_chunks = list(
+        model.generate_voice_clone_streaming(
+            "stream parity text", "English", voice_clone_prompt=prompt,
+            max_new_tokens=FRAMES, chunk_size=8, do_sample=False, seed=5,
+        )
+    )
+    host = np.concatenate([c[0] for c in host_chunks])
+    dev = np.concatenate([c[0] for c in dev_chunks])
+    n = min(host.size, dev.size)
+    assert abs(host.size - dev.size) <= 1920
+    np.testing.assert_allclose(dev[:n], host[:n], atol=2e-4, rtol=1e-3)
 
 
 def test_fused_audio_contiguous_with_host_vocode(model, prompt):
