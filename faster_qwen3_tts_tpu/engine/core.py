@@ -22,7 +22,7 @@ KV caches are donated across chunk calls, so XLA updates them in place
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,6 @@ Design notes (TPU-first):
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
 import jax

@@ -16,8 +16,6 @@ Differences by design:
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -27,7 +27,6 @@ import numpy as np
 
 from ..config import CodecConfig, Qwen3TTSConfig, SpeakerEncoderConfig
 from ..utils import audio as audio_lib
-from . import codec as codec_lib
 
 
 # ---------------------------------------------------------------------------

@@ -13,8 +13,6 @@ vmapped over kv heads and batch.
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -12,7 +12,7 @@ compute path instead of a separate native runtime.
 """
 from __future__ import annotations
 
-from typing import Any, NamedTuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -29,8 +29,6 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np
 from aiohttp import web
 
-from faster_qwen3_tts_tpu.utils.audio import write_wav
-
 logger = logging.getLogger("demo_server")
 
 MAX_TEXT_CHARS = 1000  # KV budget guard (reference demo/server.py:668-670)

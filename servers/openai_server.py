@@ -23,7 +23,6 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-import numpy as np
 from aiohttp import web
 
 from faster_qwen3_tts_tpu.utils.audio import float_to_pcm16, wav_header
