@@ -621,48 +621,75 @@ class FasterQwen3TTS:
            window-local samples [ctx*up - D : (ctx+new)*up - D) — sample-exact
            contiguity by construction (vs the reference's empirical
            samples_per_frame calibration, model.py:1108-1114)."""
+        import concurrent.futures
+
         from .engine.fused_stream import codec_deficit
 
         ctx = 24
         up = self.config.codec.total_upsample
         D = codec_deficit(self.config.codec)
         all_codes: List[np.ndarray] = []
-        prev_len = 0  # samples already emitted, generated-audio coordinates
-        for codec_chunk, fused_audio, timing in stream:
-            all_codes.append(codec_chunk)
-            if fused_audio is not None:
-                prev_len += len(fused_audio)
-                yield fused_audio, self.sample_rate, timing
-                continue
-            n_new = codec_chunk.shape[0]
-            all_flat = np.concatenate(all_codes, axis=0)
+        state = {"prev_len": 0}  # samples emitted, generated-audio coordinates
+
+        def vocode(all_flat: np.ndarray, n_new: int) -> np.ndarray:
+            """Host vocode of one chunk (runs on the worker thread)."""
             n_total = all_flat.shape[0]
-            n_hist = n_total - n_new
-            if n_hist >= ctx:
+            if n_total - n_new >= ctx:
                 # regime 3: fixed-context window (always the same codec bucket)
                 window = all_flat[-(ctx + n_new):]
-                audio_list, sr = self._speech_tokenizer.decode({"audio_codes": window[None]})
+                audio_list, _sr = self._speech_tokenizer.decode({"audio_codes": window[None]})
                 audio = np.asarray(audio_list[0]).flatten()
                 new_audio = audio[ctx * up - D : (ctx + n_new) * up - D]
-                prev_len += len(new_audio)
-                yield new_audio, self.sample_rate, timing
-                continue
+                state["prev_len"] += len(new_audio)
+                return new_audio
             # regime 2: accumulated decode (with ICL ref-code prepend)
             codes_in = (
                 np.concatenate([ref_codes, all_flat], axis=0)
                 if ref_codes is not None
                 else all_flat
             )
-            audio_list, sr = self._speech_tokenizer.decode({"audio_codes": codes_in[None]})
+            audio_list, _sr = self._speech_tokenizer.decode({"audio_codes": codes_in[None]})
             audio = np.asarray(audio_list[0]).flatten()
             if ref_codes is not None:
                 cut = int(ref_codes.shape[0] / max(codes_in.shape[0], 1) * len(audio))
                 gen_audio = audio[cut:]
             else:
                 gen_audio = audio
-            new_audio = gen_audio[prev_len:]
-            prev_len = len(gen_audio)
-            yield new_audio, self.sample_rate, timing
+            new_audio = gen_audio[state["prev_len"]:]
+            state["prev_len"] = len(gen_audio)
+            return new_audio
+
+        # The vocode runs on a single worker thread so its device round trips
+        # overlap the (blocking) fetch of the NEXT token chunk; the first
+        # chunk is vocoded inline to keep it on the TTFA critical path only.
+        pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+        pending = None  # (future_or_audio, timing)
+        try:
+            for codec_chunk, fused_audio, timing in stream:
+                all_codes.append(codec_chunk)
+                if fused_audio is not None:
+                    if pending is not None:
+                        fut, t0 = pending
+                        pending = None
+                        yield fut.result(), self.sample_rate, t0
+                    state["prev_len"] += len(fused_audio)
+                    yield fused_audio, self.sample_rate, timing
+                    continue
+                all_flat = np.concatenate(all_codes, axis=0)
+                n_new = codec_chunk.shape[0]
+                if pending is None and timing["chunk_index"] == 0:
+                    yield vocode(all_flat, n_new), self.sample_rate, timing
+                    continue
+                fut = pool.submit(vocode, all_flat, n_new)
+                if pending is not None:
+                    prev_fut, t0 = pending
+                    yield prev_fut.result(), self.sample_rate, t0
+                pending = (fut, timing)
+            if pending is not None:
+                fut, t0 = pending
+                yield fut.result(), self.sample_rate, t0
+        finally:
+            pool.shutdown(wait=False)
 
     def generate_custom_voice(
         self,
