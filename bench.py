@@ -140,9 +140,9 @@ def run_bench(model_size: str, frames: int, chunk: int, runs: int, smoke: bool, 
 
 def main():
     ap = argparse.ArgumentParser()
-    # default 0.6b/Q8_0: compiles through the remote service are expensive,
-    # and the driver's unattended run must complete reliably
-    ap.add_argument("--model", default="0.6b", choices=["0.6b", "1.7b"])
+    # flagship default; Q8_0 keeps the decode loop bandwidth-lean and the
+    # unattended run completes in ~10 min including load + compiles
+    ap.add_argument("--model", default="1.7b", choices=["0.6b", "1.7b"])
     ap.add_argument("--frames", type=int, default=120)
     ap.add_argument("--chunk", type=int, default=8)
     ap.add_argument("--runs", type=int, default=3)
