@@ -139,6 +139,7 @@ class FasterQwen3TTS:
         seed: int = 0,
         cache_dir: Optional[Union[str, Path]] = None,
         local_files_only: bool = False,
+        strict: bool = False,
         **kwargs,
     ) -> "FasterQwen3TTS":
         """Load (or random-init) a model bundle and build the engine.
@@ -180,7 +181,12 @@ class FasterQwen3TTS:
         else:
             config = get_config(model_name)
             if os.path.isdir(model_name):
-                params = weights_lib.load_hf_checkpoint(model_name, config, dtype=dtype)
+                # strict=True raises StrictLoadError on any unmapped tensor —
+                # a partially-mapped real checkpoint must never silently
+                # babble with random fallbacks.
+                params = weights_lib.load_hf_checkpoint(
+                    model_name, config, dtype=dtype, strict=strict, device_put=False
+                )
                 tok = PromptTokenizer(load_tokenizer(model_name))
             else:
                 logger.warning(
