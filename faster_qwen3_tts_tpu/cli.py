@@ -25,7 +25,10 @@ def _add_global_flags(p: argparse.ArgumentParser) -> None:
                    help="model id, framework checkpoint dir, or HF checkpoint dir")
     p.add_argument("--backend", default="jax", choices=["jax", "native"],
                    help="'jax' = XLA engine; 'native' adds the C++ host runtime + ref cache")
-    p.add_argument("--quant", default="BF16", help="BF16 (default) or Q8_0/int8")
+    p.add_argument(
+        "--quant", default="BF16",
+        help="BF16 (default), Q8_0/int8, or Q4_K_M/int4 (reference cli.py:357 surface)",
+    )
     p.add_argument("--dtype", default="bf16", choices=["bf16", "fp16", "fp32"])
     p.add_argument("--device", default="tpu")
     p.add_argument("--max-seq-len", type=int, default=2048)

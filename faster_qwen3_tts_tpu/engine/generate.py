@@ -28,6 +28,29 @@ from . import core
 PREFILL_BUCKETS = (32, 64, 128, 256, 512, 1024, 2048)
 
 
+def predictor_sampling(
+    subtalker_dosample: Optional[bool] = None,
+    subtalker_top_k: Optional[int] = None,
+    subtalker_top_p: Optional[float] = None,
+    subtalker_temperature: Optional[float] = None,
+) -> SamplingParams:
+    """Predictor (subtalker) sampling params.
+
+    The reference freezes these INDEPENDENTLY of the user's talker sampling —
+    PredictorGraph is captured with do_sample=True, top_k=50, temperature=0.9
+    (reference model.py:209-218, predictor_graph.py:34-50); user sampling
+    kwargs never reach it. Same defaults here, but overridable per call since
+    nothing is baked at compile time (jit treats them as static args).
+    """
+    return SamplingParams(
+        0.9 if subtalker_temperature is None else subtalker_temperature,
+        50 if subtalker_top_k is None else subtalker_top_k,
+        1.0 if subtalker_top_p is None else subtalker_top_p,
+        True if subtalker_dosample is None else subtalker_dosample,
+        1.0,
+    )
+
+
 def prefill_bucket(n: int, max_seq: int) -> int:
     for b in PREFILL_BUCKETS:
         if b >= n and b <= max_seq:
@@ -226,12 +249,8 @@ def fast_generate(
     path of reference generate.py:99-215 (device_chunk frames per dispatch
     instead of per-step host syncs)."""
     sampling = SamplingParams(temperature, top_k, top_p, do_sample, repetition_penalty)
-    pred_sampling = SamplingParams(
-        temperature if subtalker_temperature is None else subtalker_temperature,
-        top_k if subtalker_top_k is None else subtalker_top_k,
-        top_p if subtalker_top_p is None else subtalker_top_p,
-        do_sample if subtalker_dosample is None else subtalker_dosample,
-        1.0,
+    pred_sampling = predictor_sampling(
+        subtalker_dosample, subtalker_top_k, subtalker_top_p, subtalker_temperature
     )
     sess = GenerationSession(
         params, cfg, tie, attention_mask, trailing_text, tts_pad_embed,
@@ -283,6 +302,10 @@ def fast_generate_streaming(
     repetition_penalty: float = 1.05,
     chunk_size: int = 12,
     seed: Optional[int] = None,
+    subtalker_dosample: Optional[bool] = None,
+    subtalker_top_k: Optional[int] = None,
+    subtalker_top_p: Optional[float] = None,
+    subtalker_temperature: Optional[float] = None,
 ) -> Generator[Tuple[np.ndarray, Dict[str, Any]], None, None]:
     """Streaming generation: yields ([chunk,16] codes, timing) per chunk.
 
@@ -291,9 +314,12 @@ def fast_generate_streaming(
     Protocol matches reference streaming.py:99-188.
     """
     sampling = SamplingParams(temperature, top_k, top_p, do_sample, repetition_penalty)
+    pred_sampling = predictor_sampling(
+        subtalker_dosample, subtalker_top_k, subtalker_top_p, subtalker_temperature
+    )
     sess = GenerationSession(
         params, cfg, tie, attention_mask, trailing_text, tts_pad_embed,
-        max_seq_len, sampling, sampling, min_new_tokens, seed,
+        max_seq_len, sampling, pred_sampling, min_new_tokens, seed,
     )
     # Async prefill: the first chunk's fetch syncs it (one fewer round trip
     # on the TTFA path). prefill_ms is folded into the first decode_ms.
@@ -350,6 +376,10 @@ def fast_generate_streaming_fused(
     seed: Optional[int] = None,
     context_frames: int = 24,
     fuse_first_chunk: bool = False,
+    subtalker_dosample: Optional[bool] = None,
+    subtalker_top_k: Optional[int] = None,
+    subtalker_top_p: Optional[float] = None,
+    subtalker_temperature: Optional[float] = None,
 ) -> Generator[Tuple[np.ndarray, Optional[np.ndarray], Dict[str, Any]], None, None]:
     """Streaming generation with the fused decode+vocode path.
 
@@ -364,9 +394,12 @@ def fast_generate_streaming_fused(
     from . import fused_stream
 
     sampling = SamplingParams(temperature, top_k, top_p, do_sample, repetition_penalty)
+    pred_sampling = predictor_sampling(
+        subtalker_dosample, subtalker_top_k, subtalker_top_p, subtalker_temperature
+    )
     sess = GenerationSession(
         params, cfg, tie, attention_mask, trailing_text, tts_pad_embed,
-        max_seq_len, sampling, sampling, min_new_tokens, seed,
+        max_seq_len, sampling, pred_sampling, min_new_tokens, seed,
     )
     sess.prefill(block=False)
     sess.hist = None

@@ -201,8 +201,9 @@ class FasterQwen3TTS:
 
         from .ops import quant as quant_lib
 
-        if quant_lib.resolve_quant_name(quant) == "int8":
-            params = quant_lib.quantize_model_params(params)
+        mode = quant_lib.resolve_quant_name(quant)
+        if mode != "none":
+            params = quant_lib.quantize_model_params(params, mode)
         # ONE batched transfer for the whole bundle (per-array transfers
         # dominate load time through tunneled device connections).
         params = jax.device_put(params)
@@ -591,11 +592,13 @@ class FasterQwen3TTS:
             voice_clone_prompt=voice_clone_prompt, instruct=instruct,
         )
         if parity_mode:
-            # Parity path: plain (non-fused) chunk executables + host-side
-            # vocoding — an independent second implementation of the stream,
+            # Parity path: a genuinely independent per-step eager fp32 decode
+            # sharing only weights/config/sampling with the fused engine —
             # the role the reference's dynamic-cache parity path plays
             # (reference streaming.py:191-359).
-            stream = gen_lib.fast_generate_streaming(
+            from .engine import parity as parity_lib
+
+            stream = parity_lib.parity_generate_streaming(
                 self.params, self.config, tie, tam, tth, tpe,
                 max_seq_len=self.max_seq_len, max_new_tokens=max_new_tokens,
                 min_new_tokens=min_new_tokens, temperature=temperature, top_k=top_k,

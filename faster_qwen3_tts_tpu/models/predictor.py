@@ -105,8 +105,8 @@ def embed_frame_sum(params, codebook_tokens: jax.Array) -> jax.Array:
 def _head_logits(params, cb_index, h: jax.Array) -> jax.Array:
     """lm_head[cb_index] over h [B, pred_hidden] -> [B, codebook_vocab] f32."""
     heads = params["lm_heads"]
-    if isinstance(heads, QuantizedLinear):
-        w = QuantizedLinear(q=heads.q[cb_index], scale=heads.scale[cb_index])
+    if isinstance(heads, (QuantizedLinear, quant.QuantizedLinear4)):
+        w = type(heads)(*(f[cb_index] for f in heads))
     else:
         w = heads[cb_index]
     return quant.dot(h, w).astype(jnp.float32)

@@ -43,9 +43,77 @@ def quantize_linear(w) -> QuantizedLinear:
     return QuantizedLinear(q=q, scale=scale.astype(np.float32))
 
 
+class QuantizedLinear4(NamedTuple):
+    """Weight-only int4 linear with group-wise asymmetric (scale, min)
+    quantization — the Q4_K_M-class mode (reference cli.py:357 /
+    docs/ggml-backend.md): w ~= nibble * scale + wmin.
+
+    packed: uint8 [..., in/2, out] — two 4-bit values per byte along the
+            reduction dim (high nibble = even row, low nibble = odd row).
+    scale:  f32   [..., in/group, out] — per-(input-group, output-channel).
+    wmin:   f32   [..., in/group, out] — per-group minimum (zero point).
+    """
+
+    packed: jax.Array
+    scale: jax.Array
+    wmin: jax.Array
+
+    @property
+    def group(self) -> int:
+        return 2 * self.packed.shape[-2] // self.scale.shape[-2]
+
+
+def quantize_linear4(w, group: int = 32) -> QuantizedLinear4:
+    """Host-side asymmetric int4 quantization with group-wise scale+min."""
+    import numpy as np
+
+    wf = np.asarray(w, np.float32)
+    I, O = wf.shape[-2], wf.shape[-1]
+    if I % group:
+        group = I  # tiny layers: one group
+    g = wf.reshape(*wf.shape[:-2], I // group, group, O)
+    wmin = np.min(g, axis=-2)  # [..., n_groups, O]
+    scale = (np.max(g, axis=-2) - wmin) / 15.0
+    scale = np.maximum(scale, 1e-12)
+    q = np.clip(np.round((g - wmin[..., None, :]) / scale[..., None, :]), 0, 15)
+    q = q.astype(np.uint8).reshape(*wf.shape[:-2], I, O)
+    hi, lo = q[..., 0::2, :], q[..., 1::2, :]
+    packed = ((hi << 4) | lo).astype(np.uint8)
+    return QuantizedLinear4(
+        packed=packed, scale=scale.astype(np.float32), wmin=wmin.astype(np.float32)
+    )
+
+
+def _dot4(x: jax.Array, w: QuantizedLinear4) -> jax.Array:
+    """Grouped int4 matmul: unpack nibbles, per-group partial dots, then the
+    (scale, min) contraction. f32 accumulation throughout.
+
+    y = sum_g (x_g @ q_g) * scale_g + (sum_i x_gi) * min_g
+    """
+    p = w.packed
+    hi = jnp.right_shift(p, 4)
+    lo = p & 0xF
+    q = jnp.stack([hi, lo], axis=-2)  # [..., in/2, 2, out]
+    I = 2 * p.shape[-2]
+    O = p.shape[-1]
+    q = q.reshape(*p.shape[:-2], I, O)
+    n_groups = w.scale.shape[-2]
+    G = I // n_groups
+    qg = q.reshape(*p.shape[:-2], n_groups, G, O).astype(x.dtype)
+    lead = x.shape[:-1]
+    xg = x.reshape(*lead, n_groups, G)
+    yg = jnp.einsum("...gi,gio->...go", xg, qg, preferred_element_type=jnp.float32)
+    y = jnp.einsum("...go,go->...o", yg, w.scale.astype(jnp.float32))
+    xsum = jnp.sum(xg.astype(jnp.float32), axis=-1)  # [..., n_groups]
+    y = y + jnp.einsum("...g,go->...o", xsum, w.wmin.astype(jnp.float32))
+    return y.astype(x.dtype)
+
+
 def dot(x: jax.Array, w) -> jax.Array:
-    """x @ w with f32 accumulation; w may be a plain array or QuantizedLinear.
-    Result in x.dtype."""
+    """x @ w with f32 accumulation; w may be a plain array, QuantizedLinear,
+    or QuantizedLinear4. Result in x.dtype."""
+    if isinstance(w, QuantizedLinear4):
+        return _dot4(x, w)
     if isinstance(w, QuantizedLinear):
         y = jax.lax.dot_general(
             x,
@@ -62,31 +130,54 @@ def dot(x: jax.Array, w) -> jax.Array:
 _LAYER_WEIGHTS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
 
 
-def quantize_model_params(params: dict) -> dict:
+def dequantize(w):
+    """QuantizedLinear / QuantizedLinear4 / plain -> f32 numpy (parity path,
+    quality guardrails)."""
+    import numpy as np
+
+    if isinstance(w, QuantizedLinear):
+        return np.asarray(w.q, np.float32) * np.asarray(w.scale, np.float32)
+    if isinstance(w, QuantizedLinear4):
+        p = np.asarray(w.packed)
+        hi, lo = p >> 4, p & 0xF
+        q = np.stack([hi, lo], axis=-2).reshape(*p.shape[:-2], 2 * p.shape[-2], p.shape[-1])
+        I = q.shape[-2]
+        scale = np.asarray(w.scale, np.float32)
+        wmin = np.asarray(w.wmin, np.float32)
+        n_groups = scale.shape[-2]
+        g = q.reshape(*q.shape[:-2], n_groups, I // n_groups, q.shape[-1]).astype(np.float32)
+        return (g * scale[..., None, :] + wmin[..., None, :]).reshape(q.shape)
+    return np.asarray(w, np.float32)
+
+
+def quantize_model_params(params: dict, mode: str = "int8") -> dict:
     """Quantize the large matmul weights of talker + predictor in place-shape.
 
     Embedding tables and norms stay in their original dtype (gathers only read
     the rows they need; norms are tiny and precision-sensitive). The codec
     decoder stays f32 (small fraction of FLOPs, waveform-quality sensitive).
+    mode: "int8" (Q8_0-class, per-channel) or "int4" (Q4_K_M-class,
+    group-wise).
     """
+    quantize = {"int8": quantize_linear, "int4": quantize_linear4}[mode]
     out = dict(params)
 
     def quant_layers(layers: dict) -> dict:
         new = dict(layers)
         for k in _LAYER_WEIGHTS:
-            new[k] = quantize_linear(layers[k])
+            new[k] = quantize(layers[k])
         return new
 
     t = dict(params["talker"])
     t["layers"] = quant_layers(t["layers"])
-    t["codec_head"] = quantize_linear(t["codec_head"])
-    t["text_proj"] = {"w": quantize_linear(t["text_proj"]["w"]), "b": t["text_proj"]["b"]}
+    t["codec_head"] = quantize(t["codec_head"])
+    t["text_proj"] = {"w": quantize(t["text_proj"]["w"]), "b": t["text_proj"]["b"]}
     out["talker"] = t
 
     p = dict(params["predictor"])
     p["layers"] = quant_layers(p["layers"])
-    p["lm_heads"] = quantize_linear(p["lm_heads"])
-    p["mtp_proj"] = {"w": quantize_linear(p["mtp_proj"]["w"]), "b": p["mtp_proj"]["b"]}
+    p["lm_heads"] = quantize(p["lm_heads"])
+    p["mtp_proj"] = {"w": quantize(p["mtp_proj"]["w"]), "b": p["mtp_proj"]["b"]}
     out["predictor"] = p
     return out
 
@@ -98,4 +189,8 @@ def resolve_quant_name(quant: str) -> str:
         return "none"
     if key in ("q8_0", "int8", "q8"):
         return "int8"
-    raise ValueError(f"Unsupported quant {quant!r}. Expected BF16/F32 or Q8_0/int8.")
+    if key in ("q4_k_m", "q4_k", "int4", "q4", "q4_0"):
+        return "int4"
+    raise ValueError(
+        f"Unsupported quant {quant!r}. Expected BF16/F32, Q8_0/int8, or Q4_K_M/int4."
+    )

@@ -71,6 +71,8 @@ _models = ModelCache()
 _generation_lock = asyncio.Lock()
 _waiters = 0
 _preset_refs: dict = {}
+_uploaded_refs: dict = {}  # sha1 -> temp wav path (reference demo/server.py:698-709)
+_transcriber = None  # pluggable ASR callable: (path) -> str
 
 
 def _wav_b64(audio: np.ndarray, sr: int) -> str:
@@ -106,9 +108,15 @@ def _run_generation(model, payload: dict, out_q: queue.Queue):
             preset = payload.get("preset_ref")
             if preset and preset in _preset_refs:
                 vcp = _preset_refs[preset]
+            ref_audio = payload.get("ref_audio")
+            uploaded = payload.get("uploaded_ref")
+            if uploaded:
+                if uploaded not in _uploaded_refs:
+                    raise ValueError(f"unknown uploaded_ref {uploaded!r}")
+                ref_audio = _uploaded_refs[uploaded]
             gen = model.generate_voice_clone_streaming(
                 text, payload.get("language", "English"),
-                ref_audio=payload.get("ref_audio"),
+                ref_audio=ref_audio,
                 ref_text=payload.get("ref_text", ""),
                 xvec_only=bool(payload.get("xvec_only", False)),
                 voice_clone_prompt=vcp, **common)
@@ -220,6 +228,78 @@ async def status(request: web.Request) -> web.Response:
     })
 
 
+async def upload_ref(request: web.Request) -> web.Response:
+    """Upload a reference wav -> content-addressed temp file -> ref id
+    (the sha1 temp-file cache of reference demo/server.py:698-709).
+    Accepts multipart (field 'file') or a raw audio/* body."""
+    import hashlib
+    import tempfile
+
+    if request.content_type and request.content_type.startswith("multipart/"):
+        reader = await request.multipart()
+        part = await reader.next()
+        data = bytearray()
+        while True:
+            chunk = await part.read_chunk()
+            if not chunk:
+                break
+            data.extend(chunk)
+        data = bytes(data)
+    else:
+        data = await request.read()
+    if not data:
+        raise web.HTTPBadRequest(
+            text=json.dumps({"error": "empty upload"}), content_type="application/json"
+        )
+    if len(data) > 16 * 1024 * 1024:
+        raise web.HTTPRequestEntityTooLarge(max_size=16 * 1024 * 1024, actual_size=len(data))
+    sha = hashlib.sha1(data).hexdigest()
+    if sha not in _uploaded_refs:
+        path = Path(tempfile.gettempdir()) / f"fq3t_ref_{sha}.wav"
+        path.write_bytes(data)
+        _uploaded_refs[sha] = str(path)
+    return web.json_response({"ref_id": sha})
+
+
+async def preset_ref(request: web.Request) -> web.Response:
+    """Serve a preset reference wav (reference demo /preset_ref/{id})."""
+    rid = request.match_info["rid"]
+    entry = _preset_refs.get(rid)
+    path = entry.get("ref_audio") if isinstance(entry, dict) else None
+    if not path or not Path(path).exists():
+        raise web.HTTPNotFound(
+            text=json.dumps({"error": f"unknown preset {rid!r}"}),
+            content_type="application/json",
+        )
+    return web.FileResponse(path)
+
+
+async def transcribe(request: web.Request) -> web.Response:
+    """ASR of an uploaded reference (reference demo /transcribe runs an ASR
+    model on the GPU). No ASR model ships in this image; the route exists
+    with a pluggable hook (set demo_server._transcriber) and otherwise
+    returns 501 with a clear message."""
+    payload = await request.json()
+    rid = payload.get("ref_id")
+    path = _uploaded_refs.get(rid)
+    if path is None:
+        raise web.HTTPBadRequest(
+            text=json.dumps({"error": f"unknown ref_id {rid!r}"}),
+            content_type="application/json",
+        )
+    if _transcriber is None:
+        raise web.HTTPNotImplemented(
+            text=json.dumps({
+                "error": "no ASR model configured; set demo_server._transcriber "
+                "or type the reference text manually"
+            }),
+            content_type="application/json",
+        )
+    loop = asyncio.get_event_loop()
+    text = await loop.run_in_executor(None, _transcriber, path)
+    return web.json_response({"text": text})
+
+
 async def index(request: web.Request) -> web.Response:
     html = (Path(__file__).parent / "index.html")
     if html.exists():
@@ -234,6 +314,9 @@ def make_app() -> web.Application:
     app.router.add_post("/generate/stream", generate_stream)
     app.router.add_post("/load", load_model)
     app.router.add_get("/status", status)
+    app.router.add_post("/upload_ref", upload_ref)
+    app.router.add_get("/preset_ref/{rid}", preset_ref)
+    app.router.add_post("/transcribe", transcribe)
     return app
 
 

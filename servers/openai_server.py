@@ -23,6 +23,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+import numpy as np
 from aiohttp import web
 
 from faster_qwen3_tts_tpu.utils.audio import float_to_pcm16, wav_header
@@ -83,13 +84,39 @@ async def create_speech(request: web.Request) -> web.StreamResponse:
             text=json.dumps({"error": "missing 'input'"}), content_type="application/json"
         )
     fmt = body.get("response_format", "wav")
-    if fmt not in ("wav", "pcm"):
+    if fmt not in ("wav", "pcm", "mp3"):
         raise web.HTTPBadRequest(
-            text=json.dumps({"error": f"unsupported response_format {fmt!r} (wav|pcm)"}),
+            text=json.dumps({"error": f"unsupported response_format {fmt!r} (wav|pcm|mp3)"}),
             content_type="application/json",
         )
     voice = resolve_voice(body.get("voice", "default"))
     chunk_size = int(body.get("chunk_size", 8))
+
+    if fmt == "mp3":
+        # Non-streaming: full generation then one encode (the reference does
+        # the same, openai_server.py:242-256 — mp3 frames don't chunk cleanly).
+        from faster_qwen3_tts_tpu.utils.mp3 import Mp3Unavailable, encode_mp3
+
+        def run_full():
+            audio, sr = _model.generate_voice_clone(
+                text,
+                voice.get("language", "English"),
+                ref_audio=voice.get("ref_audio"),
+                ref_text=voice.get("ref_text", ""),
+                xvec_only=bool(voice.get("xvec_only", False)),
+                voice_clone_prompt=voice.get("voice_clone_prompt"),
+            )
+            return encode_mp3(np.asarray(audio[0]), sr)
+
+        async with _model_lock:
+            loop = asyncio.get_event_loop()
+            try:
+                data = await loop.run_in_executor(None, run_full)
+            except Mp3Unavailable as e:
+                raise web.HTTPNotImplemented(
+                    text=json.dumps({"error": str(e)}), content_type="application/json"
+                )
+        return web.Response(body=data, content_type="audio/mpeg")
 
     resp = web.StreamResponse(
         status=200,
