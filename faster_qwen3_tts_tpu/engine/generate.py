@@ -174,11 +174,22 @@ class GenerationSession:
 
     @staticmethod
     def materialize(packed: jax.Array) -> Tuple[np.ndarray, bool]:
-        """ONE device->host fetch -> (valid frames [n,16] int32, done)."""
+        """ONE device->host fetch -> (valid frames [n,16] int32, done).
+        Stream 0 view — the single-request serving path."""
         arr = np.asarray(packed)  # [chunk, B, 18]
         valid = arr[:, 0, -2].astype(bool)
         done = bool(arr[0, 0, -1])
         return arr[valid, 0, :-2].astype(np.int32), done
+
+    @staticmethod
+    def materialize_batch(packed: jax.Array):
+        """ONE fetch -> per-stream views for batched serving:
+        (frames [chunk, B, 16] int32, valid [chunk, B] bool, done [B] bool)."""
+        arr = np.asarray(packed)
+        frames = arr[:, :, :-2].astype(np.int32)
+        valid = arr[:, :, -2].astype(bool)
+        done = arr[0, :, -1].astype(bool)
+        return frames, valid, done
 
     def decode_chunk(self, chunk_size: int) -> Tuple[np.ndarray, bool]:
         return self.materialize(self.decode_chunk_async(chunk_size))
@@ -412,17 +423,21 @@ def fast_generate_streaming_fused(
 
     import os
 
-    # Device-side vocode fusion is opt-in: the extra executable pays one more
-    # full codec compile, which is only worth it on deployments with a fast
-    # compiler (or a warm on-disk executable cache).
-    fused_enabled = bool(os.environ.get("FQ3T_FUSED_VOCODE"))
+    # Device-side vocode fusion is DEFAULT-ON (TTFA/RTF path: the whole
+    # chunk — AR decode, sampling, windowed vocode — is one device program,
+    # one fetch). FQ3T_FUSED_VOCODE=0 opts out for deployments where the
+    # extra codec-window compiles are not worth it.
+    fused_enabled = os.environ.get("FQ3T_FUSED_VOCODE", "1") != "0"
 
     def dispatch(idx: int):
         """Queue the chunk with index `idx` on the device."""
         if idx == 0 and fuse_first_chunk and fused_enabled:
             return ("fused0", sess.decode_chunk_fused_async(chunk_size, 0))
         if fused_enabled and total >= context_frames:
-            if sess.hist is None:
+            # The device-side hist carry is only valid if it holds exactly
+            # `context_frames` frames (a preceding plain or fused0 chunk
+            # leaves it stale/short) — rebuild it from host history then.
+            if sess.hist is None or sess.hist.shape[1] != context_frames:
                 sess.set_codec_history(np.concatenate(history, axis=0), context_frames)
             return ("fused", sess.decode_chunk_fused_async(chunk_size, context_frames))
         return ("plain", sess.decode_chunk_async(chunk_size))

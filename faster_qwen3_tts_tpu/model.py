@@ -233,6 +233,20 @@ class FasterQwen3TTS:
         sess.prefill()
         for chunk in (8, 12, self.device_chunk):
             sess.decode_chunk(chunk)
+        if os.environ.get("FQ3T_FUSED_VOCODE", "1") != "0":
+            # Fused decode+vocode executables (the TTFA/steady-state path):
+            # ctx=0 (first chunk) and ctx=24 (sliding window) per chunk size.
+            ctx = 24
+            ncg = self.config.talker.num_code_groups
+            for chunk in (8, 12):
+                sess.decode_chunk_fused_async(chunk, 0)
+                sess.set_codec_history(np.zeros((ctx, ncg), np.int32), ctx)
+                flat = sess.decode_chunk_fused_async(chunk, ctx)
+                np.asarray(flat)  # block: serialize compiles
+            # Host codec bucket (regime-2 accumulated decode, first buckets).
+            self._speech_tokenizer.decode(
+                {"audio_codes": np.zeros((1, 32, ncg), np.int32)}
+            )
         self._warmed_up = True
         logger.info("Warmup complete in %.1fs", time.perf_counter() - t0)
 
@@ -613,10 +627,11 @@ class FasterQwen3TTS:
                 min_new_tokens=min_new_tokens, temperature=temperature, top_k=top_k,
                 top_p=top_p, do_sample=do_sample, repetition_penalty=repetition_penalty,
                 chunk_size=chunk_size, seed=seed,
-                # fuse_first_chunk stays off: the ctx=0 vocode variant costs
-                # one extra full codec compile for ~30 ms of TTFA; ICL also
-                # requires the host path for the ref-code prepend.
-                fuse_first_chunk=False,
+                # The ctx=0 fused first chunk is the TTFA path (audio comes
+                # out of the same device program as the tokens, one fetch).
+                # ICL must keep the host path: the first vocode prepends the
+                # reference codes (reference model.py:919-923).
+                fuse_first_chunk=ref_codes is None,
             )
         yield from self._stream_decode(stream, chunk_size, ref_codes)
 
@@ -773,7 +788,7 @@ class FasterQwen3TTS:
             max_seq_len=self.max_seq_len, max_new_tokens=max_new_tokens,
             min_new_tokens=min_new_tokens, temperature=temperature, top_k=top_k,
             top_p=top_p, do_sample=do_sample, repetition_penalty=repetition_penalty,
-            chunk_size=chunk_size, seed=seed,
+            chunk_size=chunk_size, seed=seed, fuse_first_chunk=True,
         )
         yield from self._stream_decode(stream, chunk_size, None)
 
@@ -842,6 +857,6 @@ class FasterQwen3TTS:
             max_seq_len=self.max_seq_len, max_new_tokens=max_new_tokens,
             min_new_tokens=min_new_tokens, temperature=temperature, top_k=top_k,
             top_p=top_p, do_sample=do_sample, repetition_penalty=repetition_penalty,
-            chunk_size=chunk_size, seed=seed,
+            chunk_size=chunk_size, seed=seed, fuse_first_chunk=True,
         )
         yield from self._stream_decode(stream, chunk_size, None)

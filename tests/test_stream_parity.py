@@ -41,7 +41,7 @@ def prompt():
     }
 
 
-def _collect(model, prompt, parity: bool):
+def _collect(model, prompt, parity: bool, monkeypatch=None):
     frames, audio = [], []
     from faster_qwen3_tts_tpu.engine import generate as gen_lib
 
@@ -75,14 +75,16 @@ def test_fused_tokens_match_plain(model, prompt):
     plain_frames, plain_audio = _collect(model, prompt, parity=True)
     np.testing.assert_array_equal(fused_frames, plain_frames)
     assert fused_frames.shape == (FRAMES, 16)
-    # device vocode is opt-in (FQ3T_FUSED_VOCODE); by default both pumps
-    # yield tokens only and the model layer host-vocodes
+    # the plain pump yields tokens only (the model layer host-vocodes); the
+    # fused pump (default-on) yields device audio once past the context window
     assert all(a is None for a in plain_audio)
+    assert any(a is not None for a in fused_audio)
 
 
 def test_device_vocode_matches_host(model, prompt, monkeypatch):
-    """With FQ3T_FUSED_VOCODE on, device-vocoded chunks must match the host
-    windowed vocode sample-for-sample (same codes, same math)."""
+    """Device-vocoded chunks (default) must match the host windowed vocode
+    sample-for-sample (same codes, same math)."""
+    monkeypatch.setenv("FQ3T_FUSED_VOCODE", "0")
     host_chunks = list(
         model.generate_voice_clone_streaming(
             "stream parity text", "English", voice_clone_prompt=prompt,
@@ -130,3 +132,34 @@ def test_fused_audio_contiguous_with_host_vocode(model, prompt):
     # same codes with full left context there)
     n = 10 * up
     np.testing.assert_allclose(streamed[:n], audio[0][:n], atol=5e-4, rtol=1e-3)
+
+
+def test_fused_first_chunk_and_big_chunk_transition(model, prompt):
+    """fuse_first_chunk=True with chunk_size >= context window: the device
+    hist carry from the ctx=0 first chunk is stale (1 frame) — the dispatcher
+    must rebuild it before the first steady-state fused chunk. Tokens must
+    match the plain pump exactly and audio must cover the stream."""
+    from faster_qwen3_tts_tpu.engine import generate as gen_lib
+    from faster_qwen3_tts_tpu.engine.fused_stream import codec_deficit
+
+    tie, tam, tth, tpe, _rc = model._prepare_generation(
+        text="stream parity text", language="English", voice_clone_prompt=prompt,
+        non_streaming_mode=False,
+    )
+    kw = dict(max_seq_len=model.max_seq_len, max_new_tokens=48,
+              do_sample=False, chunk_size=24, seed=5)
+    fused = list(gen_lib.fast_generate_streaming_fused(
+        model.params, model.config, tie, tam, tth, tpe,
+        fuse_first_chunk=True, context_frames=24, **kw))
+    plain = list(gen_lib.fast_generate_streaming(
+        model.params, model.config, tie, tam, tth, tpe, **kw))
+    f_frames = np.concatenate([f for f, a, t in fused], axis=0)
+    p_frames = np.concatenate([f for f, t in plain], axis=0)
+    np.testing.assert_array_equal(f_frames, p_frames)
+    # every fused chunk carries device audio (chunk0 via ctx=0, rest via ctx=24)
+    assert all(a is not None for f, a, t in fused)
+    up = model.config.codec.total_upsample
+    D = codec_deficit(model.config.codec)
+    total = sum(len(a) for f, a, t in fused if a is not None)
+    # chunk0 emits 24*up - D; steady chunks emit 24*up each
+    assert total == 48 * up - D
