@@ -3,11 +3,17 @@
 Same route surface as the reference demo backend (reference
 demo/server.py:768-1288): POST /generate, POST /generate/stream (SSE wav-b64
 chunks with live TTFA/RTF metrics), /load (model LRU cache), /status,
-/preset_ref/{id}. Auth/quota are out of scope for an on-device demo; the
-concurrency model is the same global generation lock + queue-depth reporting
-(reference demo/server.py:664-665, 1124-1151).
+/preset_ref/{id}, /transcribe, /upload_ref, plus the auth/quota surface:
+optional login gating (DEMO_REQUIRE_LOGIN; identity comes from a pluggable
+`_oauth_parser` hook — in production wire your IdP, e.g. an OAuth reverse
+proxy, through it), a sqlite daily-quota usage DB with HMAC-pseudonymized
+user keys (reference demo/server.py:371-588), and web-only mode
+(DEMO_WEB_ONLY) that requires a signed page token on generation routes
+(reference demo/server.py:265-331). The concurrency model is the same global
+generation lock + queue-depth reporting (reference demo/server.py:664-665,
+1124-1151).
 
-Run:  python servers/demo_server.py --models 0.6b,1.7b
+Run:  python servers/demo_server.py --preload 0.6b
 """
 from __future__ import annotations
 
@@ -17,6 +23,7 @@ import base64
 import io
 import json
 import logging
+import os
 import queue
 import sys
 import threading
@@ -29,18 +36,109 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np
 from aiohttp import web
 
+from servers.usage_db import QuotaExceeded, UsageDB, WebGate
+
 logger = logging.getLogger("demo_server")
 
 MAX_TEXT_CHARS = 1000  # KV budget guard (reference demo/server.py:668-670)
-MODEL_CACHE_SIZE = 2
+MODEL_CACHE_SIZE = int(os.environ.get("MODEL_CACHE_SIZE", "2"))
 
-MODEL_IDS = {
+_ALL_MODEL_IDS = {
     "0.6b": "Qwen/Qwen3-TTS-12Hz-0.6B-Base",
     "1.7b": "Qwen/Qwen3-TTS-12Hz-1.7B-Base",
     "0.6b-custom": "Qwen/Qwen3-TTS-12Hz-0.6B-CustomVoice",
     "1.7b-custom": "Qwen/Qwen3-TTS-12Hz-1.7B-CustomVoice",
     "1.7b-design": "Qwen/Qwen3-TTS-12Hz-1.7B-VoiceDesign",
 }
+_active_env = os.environ.get("ACTIVE_MODELS", "")
+if _active_env:  # restrict servable models (reference demo/server.py:72-77)
+    _allowed = {m.strip() for m in _active_env.split(",") if m.strip()}
+    MODEL_IDS = {k: v for k, v in _ALL_MODEL_IDS.items() if k in _allowed or v in _allowed}
+else:
+    MODEL_IDS = dict(_ALL_MODEL_IDS)
+
+
+def _env_flag(name: str, default: str = "0") -> bool:
+    return os.environ.get(name, default).strip().lower() not in {"0", "false", "no", "off", ""}
+
+
+# --- auth / quota configuration (reference demo/server.py:212-236) ----------
+WEB_ONLY_MODE = _env_flag("DEMO_WEB_ONLY", "0")
+REQUIRE_LOGIN = _env_flag("DEMO_REQUIRE_LOGIN", "1" if WEB_ONLY_MODE else "0")
+WEB_TOKEN_HEADER = "x-fq3t-web-token"
+DAILY_FREE_REQUESTS = int(os.environ.get("DEMO_DAILY_FREE_REQUESTS", "10"))
+_gate_secret = os.environ.get("DEMO_WEB_GATE_SECRET")
+_usage_secret = os.environ.get("DEMO_USAGE_HASH_SECRET") or _gate_secret
+_web_gate = WebGate(
+    _gate_secret.encode() if _gate_secret else None,
+    ttl_seconds=int(os.environ.get("DEMO_WEB_TOKEN_TTL_SECONDS", "7200")),
+)
+_usage_db = UsageDB(
+    os.environ.get("USAGE_DB_PATH", "/tmp/fq3t-demo-usage.sqlite3"),
+    hash_secret=_usage_secret.encode() if _usage_secret else _web_gate.secret,
+    daily_free_limit=DAILY_FREE_REQUESTS,
+)
+
+# Pluggable identity hook: (request) -> {"sub": str, "username": str,
+# "is_pro": bool} or None. The reference gets this from the HF Spaces OAuth
+# middleware (demo/server.py:326-366); deployments wire their IdP here.
+_oauth_parser = None
+
+
+def _request_user(request: web.Request):
+    if _oauth_parser is not None:
+        return _oauth_parser(request)
+    return None
+
+
+def _client_fingerprint(request: web.Request) -> str:
+    fwd = request.headers.get("x-forwarded-for", "")
+    ip = fwd.split(",", 1)[0].strip() if fwd else (request.remote or "")
+    return f"{ip}|{request.headers.get('user-agent', '')[:256]}"
+
+
+def _require_user(request: web.Request):
+    """401 unless logged in (when DEMO_REQUIRE_LOGIN). Returns the user."""
+    if not REQUIRE_LOGIN:
+        return None
+    user = _request_user(request)
+    if not user or not user.get("sub"):
+        raise web.HTTPUnauthorized(
+            text=json.dumps({"error": "Sign in to use this demo."}),
+            content_type="application/json",
+        )
+    return user
+
+
+def _require_web_client(request: web.Request) -> None:
+    """Web-only mode: generation routes need the signed page token
+    (reference demo/server.py:311-323)."""
+    if not WEB_ONLY_MODE:
+        return
+    fetch_site = request.headers.get("sec-fetch-site")
+    if fetch_site and fetch_site not in {"same-origin", "same-site", "none"}:
+        raise web.HTTPForbidden(
+            text=json.dumps({"error": "Use the web UI to run this demo."}),
+            content_type="application/json",
+        )
+    token = request.headers.get(WEB_TOKEN_HEADER, "")
+    if not _web_gate.verify(token, _client_fingerprint(request)):
+        raise web.HTTPForbidden(
+            text=json.dumps({"error": "Open the demo page before making requests."}),
+            content_type="application/json",
+        )
+
+
+def _consume_quota(user) -> "dict | None":
+    """Consume one generation from the user's daily quota; 429 when out."""
+    if not REQUIRE_LOGIN or user is None:
+        return None
+    try:
+        return _usage_db.consume(user["sub"], user.get("username", ""), bool(user.get("is_pro")))
+    except QuotaExceeded as e:
+        raise web.HTTPTooManyRequests(
+            text=json.dumps({"error": str(e)}), content_type="application/json"
+        )
 
 
 class ModelCache:
@@ -130,6 +228,9 @@ def _run_generation(model, payload: dict, out_q: queue.Queue):
 
 async def generate_stream(request: web.Request) -> web.StreamResponse:
     global _waiters
+    user = _require_user(request)
+    _require_web_client(request)
+    usage = _consume_quota(user)
     payload = await request.json()
     text = payload.get("text", "")
     if not text:
@@ -167,7 +268,7 @@ async def generate_stream(request: web.Request) -> web.StreamResponse:
             if kind == "done":
                 await sse({"type": "done", "ttfa_ms": ttfa_ms,
                            "rtf": audio_s / max(total_ms / 1000, 1e-9),
-                           "audio_s": audio_s})
+                           "audio_s": audio_s, "usage": usage})
                 break
             if kind == "error":
                 await sse({"type": "error", "message": a})
@@ -189,6 +290,9 @@ async def generate_stream(request: web.Request) -> web.StreamResponse:
 
 async def generate(request: web.Request) -> web.Response:
     """Non-streaming one-shot (reference demo /generate)."""
+    user = _require_user(request)
+    _require_web_client(request)
+    _consume_quota(user)
     payload = await request.json()
     async with _generation_lock:
         model = _models.get(payload.get("model", "0.6b"), payload.get("quant", "BF16"))
@@ -208,7 +312,14 @@ async def generate(request: web.Request) -> web.Response:
 
 
 async def load_model(request: web.Request) -> web.Response:
+    _require_user(request)
+    _require_web_client(request)
     payload = await request.json()
+    if payload.get("model", "0.6b") not in MODEL_IDS:
+        raise web.HTTPBadRequest(
+            text=json.dumps({"error": f"model not in ACTIVE_MODELS: {sorted(MODEL_IDS)}"}),
+            content_type="application/json",
+        )
     async with _generation_lock:  # load under the generation lock
         loop = asyncio.get_event_loop()
         model = await loop.run_in_executor(
@@ -220,11 +331,23 @@ async def load_model(request: web.Request) -> web.Response:
 
 
 async def status(request: web.Request) -> web.Response:
+    user = _require_user(request)
+    usage = None
+    if REQUIRE_LOGIN and user is not None:
+        usage = _usage_db.get_usage(
+            user["sub"], user.get("username", ""), bool(user.get("is_pro"))
+        )
     return web.json_response({
         "loaded_models": _models.loaded(),
+        "available_models": sorted(MODEL_IDS),
         "queue_depth": _waiters,
         "presets": sorted(_preset_refs.keys()),
         "max_text_chars": MAX_TEXT_CHARS,
+        "require_login": REQUIRE_LOGIN,
+        "web_only": WEB_ONLY_MODE,
+        "user": ({"username": user.get("username", ""), "is_pro": bool(user.get("is_pro"))}
+                 if user else None),
+        "usage": usage,
     })
 
 
@@ -234,6 +357,9 @@ async def upload_ref(request: web.Request) -> web.Response:
     Accepts multipart (field 'file') or a raw audio/* body."""
     import hashlib
     import tempfile
+
+    _require_user(request)
+    _require_web_client(request)
 
     if request.content_type and request.content_type.startswith("multipart/"):
         reader = await request.multipart()
@@ -279,6 +405,8 @@ async def transcribe(request: web.Request) -> web.Response:
     model on the GPU). No ASR model ships in this image; the route exists
     with a pluggable hook (set demo_server._transcriber) and otherwise
     returns 501 with a clear message."""
+    _require_user(request)
+    _require_web_client(request)
     payload = await request.json()
     rid = payload.get("ref_id")
     path = _uploaded_refs.get(rid)
@@ -300,20 +428,55 @@ async def transcribe(request: web.Request) -> web.Response:
     return web.json_response({"text": text})
 
 
+_LOGIN_PAGE = """<!doctype html><html><head><title>faster-qwen3-tts-tpu demo</title>
+</head><body style="font-family:sans-serif;max-width:28rem;margin:4rem auto">
+<h1>Sign in required</h1>
+<p>This demo requires login. Configure your identity provider (see
+servers/demo_server.py `_oauth_parser`) or start the server without
+DEMO_REQUIRE_LOGIN.</p></body></html>"""
+
+
 async def index(request: web.Request) -> web.Response:
-    html = (Path(__file__).parent / "index.html")
-    if html.exists():
-        return web.Response(text=html.read_text(), content_type="text/html")
-    return web.Response(text="<h1>faster-qwen3-tts-tpu demo</h1>", content_type="text/html")
+    if REQUIRE_LOGIN and _request_user(request) is None:
+        # login splash (reference demo/server.py:768-772, 599-637)
+        return web.Response(text=_LOGIN_PAGE, content_type="text/html")
+    html_path = Path(__file__).parent / "index.html"
+    if not html_path.exists():
+        return web.Response(text="<h1>faster-qwen3-tts-tpu demo</h1>", content_type="text/html")
+    html = html_path.read_text()
+    if WEB_ONLY_MODE:
+        # bootstrap the signed page token (reference demo/server.py:774-781)
+        token = _web_gate.make_token(_client_fingerprint(request))
+        boot = f"<script>window.__FQ3T_WEB_TOKEN__ = {json.dumps(token)};</script>"
+        html = html.replace("</head>", f"{boot}\n</head>", 1)
+        return web.Response(text=html, content_type="text/html",
+                            headers={"Cache-Control": "no-store"})
+    return web.Response(text=html, content_type="text/html")
+
+
+async def favicon(request: web.Request) -> web.Response:
+    return web.Response(status=204)
+
+
+async def usage(request: web.Request) -> web.Response:
+    user = _require_user(request)
+    if user is None:
+        return web.json_response({"usage": None})
+    return web.json_response(
+        {"usage": _usage_db.get_usage(user["sub"], user.get("username", ""),
+                                      bool(user.get("is_pro")))}
+    )
 
 
 def make_app() -> web.Application:
     app = web.Application(client_max_size=32 * 1024 * 1024)
     app.router.add_get("/", index)
+    app.router.add_get("/favicon.ico", favicon)
     app.router.add_post("/generate", generate)
     app.router.add_post("/generate/stream", generate_stream)
     app.router.add_post("/load", load_model)
     app.router.add_get("/status", status)
+    app.router.add_get("/usage", usage)
     app.router.add_post("/upload_ref", upload_ref)
     app.router.add_get("/preset_ref/{rid}", preset_ref)
     app.router.add_post("/transcribe", transcribe)

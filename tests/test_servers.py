@@ -231,3 +231,169 @@ def test_demo_upload_and_transcribe(monkeypatch, tmp_path):
             assert r.status == 400
 
     run(body())
+
+
+# --- auth / quota subsystem (reference demo/server.py:212-588) ---------------
+
+
+def test_usage_db_quota_and_pseudonymization(tmp_path):
+    from servers.usage_db import QuotaExceeded, UsageDB
+
+    db = UsageDB(tmp_path / "usage.sqlite3", hash_secret=b"s3cret", daily_free_limit=3)
+    for i in range(3):
+        payload = db.consume("alice@example", username="alice")
+        assert payload["used_today"] == i + 1
+        assert payload["remaining"] == 3 - (i + 1)
+    with pytest.raises(QuotaExceeded):
+        db.consume("alice@example", username="alice")
+    # pro users bypass the limit (reference demo/server.py:566-571)
+    for _ in range(5):
+        payload = db.consume("bob", username="bob", is_pro=True)
+    assert payload["limit"] is None and payload["remaining"] is None
+    # raw identifiers never at rest: only HMAC pseudonyms in the file
+    raw = (tmp_path / "usage.sqlite3").read_bytes()
+    assert b"alice@example" not in raw
+    assert db.hash_user("alice@example").encode() in raw
+    # get_usage does not consume
+    before = db.get_usage("bob", is_pro=True)["used_today"]
+    assert db.get_usage("bob", is_pro=True)["used_today"] == before
+
+
+def test_usage_db_legacy_migration(tmp_path):
+    import sqlite3
+
+    from servers.usage_db import UsageDB
+
+    path = tmp_path / "usage.sqlite3"
+    with sqlite3.connect(path) as con:
+        con.execute(
+            "CREATE TABLE usage_daily (user_sub TEXT, day TEXT, is_pro INTEGER,"
+            " count INTEGER, updated_at INTEGER, username TEXT)"
+        )
+        con.execute(
+            "INSERT INTO usage_daily VALUES ('carol', '2026-08-16', 0, 7, 123, 'carol')"
+        )
+    db = UsageDB(path, hash_secret=b"k", daily_free_limit=10)
+    from datetime import datetime, timezone
+
+    today = datetime.now(timezone.utc).date().isoformat()
+    # migrated count visible under the pseudonymized key
+    with sqlite3.connect(path) as con:
+        db._ensure_db_locked()
+        rows = con.execute("SELECT user_key, count FROM usage_daily").fetchall()
+    assert rows == [(db.hash_user("carol"), 7)]
+    with sqlite3.connect(path) as con:
+        cols = {r[1] for r in con.execute("PRAGMA table_info(usage_daily)").fetchall()}
+    assert "user_sub" not in cols and "user_key" in cols
+    assert today  # (quota math itself covered above)
+
+
+def test_web_gate_tokens():
+    from servers.usage_db import WebGate
+
+    gate = WebGate(secret=b"gate", ttl_seconds=100)
+    tok = gate.make_token("1.2.3.4|ua")
+    assert gate.verify(tok, "1.2.3.4|ua")
+    assert not gate.verify(tok, "5.6.7.8|ua")  # bound to fingerprint
+    assert not gate.verify("garbage", "1.2.3.4|ua")
+    # expired: hand-build a token with an old timestamp
+    ts = str(int(__import__("time").time()) - 1000)
+    old = f"{ts}.n.{gate._sign(ts, 'n', '1.2.3.4|ua')}"
+    assert not gate.verify(old, "1.2.3.4|ua")
+    # different secret -> invalid
+    assert not WebGate(secret=b"other", ttl_seconds=100).verify(tok, "1.2.3.4|ua")
+
+
+def test_demo_require_login_and_quota(monkeypatch, tmp_path):
+    import servers.demo_server as demo
+    from servers.usage_db import UsageDB
+
+    class _Cache:
+        def get(self, key, quant):
+            return _StubModel()
+
+        def loaded(self):
+            return ["stub"]
+
+    monkeypatch.setattr(demo, "_models", _Cache())
+    monkeypatch.setattr(demo, "REQUIRE_LOGIN", True)
+    monkeypatch.setattr(
+        demo, "_usage_db",
+        UsageDB(tmp_path / "u.sqlite3", hash_secret=b"k", daily_free_limit=2),
+    )
+    app = demo.make_app()
+
+    async def body():
+        async with TestClient(TestServer(app)) as client:
+            # anonymous -> 401 on generation, login splash on /
+            r = await client.post("/generate/stream", json={"text": "hi"})
+            assert r.status == 401
+            r = await client.get("/")
+            assert "Sign in" in (await r.text())
+
+            # identified user via the pluggable parser
+            monkeypatch.setattr(
+                demo, "_oauth_parser",
+                lambda req: {"sub": "u1", "username": "u1", "is_pro": False},
+            )
+            st = await (await client.get("/status")).json()
+            assert st["require_login"] and st["user"]["username"] == "u1"
+            assert st["usage"]["remaining"] == 2
+
+            for expect in (1, 0):
+                r = await client.post(
+                    "/generate/stream", json={"text": "hi", "xvec_only": True}
+                )
+                assert r.status == 200
+                events = [json.loads(l[6:]) for l in (await r.read()).decode().splitlines()
+                          if l.startswith("data: ")]
+                done = [e for e in events if e["type"] == "done"][0]
+                assert done["usage"]["remaining"] == expect
+            # out of quota -> 429
+            r = await client.post("/generate/stream", json={"text": "hi"})
+            assert r.status == 429
+            # /usage reflects the consumption without consuming
+            u = await (await client.get("/usage")).json()
+            assert u["usage"]["used_today"] == 2
+
+    run(body())
+
+
+def test_demo_web_only_token_gate(monkeypatch):
+    import servers.demo_server as demo
+
+    class _Cache:
+        def get(self, key, quant):
+            return _StubModel()
+
+        def loaded(self):
+            return ["stub"]
+
+    monkeypatch.setattr(demo, "_models", _Cache())
+    monkeypatch.setattr(demo, "WEB_ONLY_MODE", True)
+    app = demo.make_app()
+
+    async def body():
+        async with TestClient(TestServer(app)) as client:
+            # no page token -> 403
+            r = await client.post("/generate/stream", json={"text": "hi"})
+            assert r.status == 403
+            # load the page, extract the bootstrapped token
+            html = await (await client.get("/")).text()
+            marker = "window.__FQ3T_WEB_TOKEN__ = "
+            start = html.index(marker) + len(marker)
+            token = json.loads(html[start: html.index(";", start)])
+            r = await client.post(
+                "/generate/stream",
+                json={"text": "hi", "xvec_only": True},
+                headers={demo.WEB_TOKEN_HEADER: token},
+            )
+            assert r.status == 200
+            # cross-site fetch metadata -> 403 even with a token
+            r = await client.post(
+                "/generate/stream", json={"text": "hi"},
+                headers={demo.WEB_TOKEN_HEADER: token, "sec-fetch-site": "cross-site"},
+            )
+            assert r.status == 403
+
+    run(body())
