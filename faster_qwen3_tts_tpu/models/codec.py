@@ -250,13 +250,13 @@ def chunked_decode(
 # ---------------------------------------------------------------------------
 
 
-def init_params(seed: int, cfg: CodecConfig, dtype=jnp.float32):
+def init_params(seed: int, cfg: CodecConfig, dtype=jnp.float32, rng=None):
     import numpy as np
 
     from .layers import _np_dtype
 
     np_dtype = _np_dtype(dtype)
-    rng = np.random.default_rng(seed)
+    rng = np.random.default_rng(seed) if rng is None else rng
 
     def arr(x):
         return np.asarray(x, np_dtype)
@@ -299,8 +299,13 @@ def init_params(seed: int, cfg: CodecConfig, dtype=jnp.float32):
             "scale_mlp": full((C,), cfg.layer_scale_initial_scale),
         }
 
+    # Host-side stack, NOT jnp (jnp here would dispatch eager per-leaf device
+    # transfers mid-init, which dominate load time on tunneled TPU setups);
+    # stack_host keeps the device-init sentinel skeleton O(1).
+    from .layers import stack_host
+
     layers_list = [tlayer() for _ in range(cfg.num_hidden_layers)]
-    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers_list)
+    stacked = jax.tree.map(lambda *xs: stack_host(xs), *layers_list)
 
     def convnext(dim):
         dw_w, dw_b = conv(dim, dim, 7, groups=dim)

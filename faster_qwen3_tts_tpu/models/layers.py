@@ -248,6 +248,35 @@ def stack_decode(
 # ---------------------------------------------------------------------------
 
 
+def stack_host(xs):
+    """np.stack that stays O(1) for constant broadcast views.
+
+    The device-init skeleton (weights._SentinelRng) represents every random
+    leaf as a zero-strided broadcast of one scalar; np.stack would copy each
+    one element-by-element (~minutes on a single-core host for the codec
+    transformer). Same-valued broadcast views stack to a bigger broadcast
+    view instead. Real (contiguous) arrays take the normal np.stack path.
+    """
+    import numpy as np
+
+    x0 = xs[0]
+    if (
+        isinstance(x0, np.ndarray)
+        and x0.size
+        and not any(x0.strides)
+        and all(
+            isinstance(x, np.ndarray)
+            and x.shape == x0.shape
+            and x.dtype == x0.dtype
+            and not any(x.strides)
+            and x.flat[0] == x0.flat[0]
+            for x in xs[1:]
+        )
+    ):
+        return np.broadcast_to(x0.flat[0], (len(xs),) + x0.shape)
+    return np.stack(xs)
+
+
 def init_stacked_layers(
     seed: int,
     num_layers: int,
@@ -257,6 +286,7 @@ def init_stacked_layers(
     head_dim: int,
     intermediate: int,
     dtype=jnp.bfloat16,
+    rng=None,
 ):
     """Random-init stacked decoder-layer params (testing / benchmarking when
     no checkpoint is available; real weights come from weights.load_pretrained).
@@ -268,7 +298,7 @@ def init_stacked_layers(
     import numpy as np
 
     np_dtype = _np_dtype(dtype)
-    rng = np.random.default_rng(seed)
+    rng = np.random.default_rng(seed) if rng is None else rng
     s = lambda *shape: (num_layers,) + shape
 
     def init(*shape, scale=None):

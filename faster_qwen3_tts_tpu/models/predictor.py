@@ -37,11 +37,14 @@ def layer_shape(cfg: PredictorConfig) -> LayerShape:
     )
 
 
-def init_params(seed: int, cfg: PredictorConfig, talker_hidden: int, dtype=jnp.bfloat16):
+def init_params(seed: int, cfg: PredictorConfig, talker_hidden: int, dtype=jnp.bfloat16, rng=None):
     import numpy as np
 
     np_dtype = layers._np_dtype(dtype)
-    rng = np.random.default_rng(seed)
+    # Explicit rng (device-init sentinel) threads through; default keeps the
+    # legacy per-submodule streams so committed goldens stay valid.
+    layers_rng = rng
+    rng = np.random.default_rng(seed) if rng is None else rng
 
     def init(*shape, scale=None):
         fan_in = shape[-2] if len(shape) >= 2 else shape[-1]
@@ -67,6 +70,7 @@ def init_params(seed: int, cfg: PredictorConfig, talker_hidden: int, dtype=jnp.b
             cfg.head_dim,
             cfg.intermediate_size,
             dtype,
+            rng=layers_rng,
         ),
         "final_norm": np.ones((cfg.hidden_size,), np_dtype),
     }

@@ -33,11 +33,15 @@ def layer_shape(cfg: TalkerConfig) -> LayerShape:
     )
 
 
-def init_params(seed: int, cfg: TalkerConfig, dtype=jnp.bfloat16):
+def init_params(seed: int, cfg: TalkerConfig, dtype=jnp.bfloat16, rng=None):
     import numpy as np
 
     np_dtype = layers._np_dtype(dtype)
-    rng = np.random.default_rng(seed)
+    # An explicit rng (the device-init sentinel) threads through everything;
+    # the default path keeps the legacy per-submodule streams so committed
+    # golden fixtures stay valid.
+    layers_rng = rng
+    rng = np.random.default_rng(seed) if rng is None else rng
 
     def init(*shape, scale=None):
         fan_in = shape[0] if len(shape) >= 2 else shape[-1]
@@ -66,6 +70,7 @@ def init_params(seed: int, cfg: TalkerConfig, dtype=jnp.bfloat16):
             cfg.head_dim,
             cfg.intermediate_size,
             dtype,
+            rng=layers_rng,
         ),
         "final_norm": np.ones((cfg.hidden_size,), np_dtype),
     }

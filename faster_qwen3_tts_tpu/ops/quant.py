@@ -150,6 +150,32 @@ def dequantize(w):
     return np.asarray(w, np.float32)
 
 
+def quantize_linear_jnp(w) -> QuantizedLinear:
+    """Device-side (traceable) twin of `quantize_linear` — used when params
+    were initialized on device (weights.init_all_device) so quantization runs
+    in HBM instead of round-tripping weights to the host."""
+    wf = w.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(wf), axis=-2, keepdims=True) / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    return QuantizedLinear(q=q, scale=scale.astype(jnp.float32))
+
+
+def quantize_linear4_jnp(w, group: int = 32) -> QuantizedLinear4:
+    """Device-side twin of `quantize_linear4` (same packing layout)."""
+    wf = w.astype(jnp.float32)
+    I, O = wf.shape[-2], wf.shape[-1]
+    g = wf.reshape(*wf.shape[:-2], I // group, group, O)
+    wmin = jnp.min(g, axis=-2)
+    scale = jnp.maximum((jnp.max(g, axis=-2) - wmin) / 15.0, 1e-12)
+    q = jnp.clip(jnp.round((g - wmin[..., None, :]) / scale[..., None, :]), 0, 15)
+    q = q.astype(jnp.uint8).reshape(*wf.shape[:-2], I, O)
+    hi, lo = q[..., 0::2, :], q[..., 1::2, :]
+    packed = ((hi << 4) | lo).astype(jnp.uint8)
+    return QuantizedLinear4(
+        packed=packed, scale=scale.astype(jnp.float32), wmin=wmin.astype(jnp.float32)
+    )
+
+
 def quantize_model_params(params: dict, mode: str = "int8") -> dict:
     """Quantize the large matmul weights of talker + predictor in place-shape.
 
@@ -157,9 +183,19 @@ def quantize_model_params(params: dict, mode: str = "int8") -> dict:
     the rows they need; norms are tiny and precision-sensitive). The codec
     decoder stays f32 (small fraction of FLOPs, waveform-quality sensitive).
     mode: "int8" (Q8_0-class, per-channel) or "int4" (Q4_K_M-class,
-    group-wise).
-    """
-    quantize = {"int8": quantize_linear, "int4": quantize_linear4}[mode]
+    group-wise). Host (numpy) params quantize on host; device-resident params
+    quantize in ONE jitted program (originals donated/freed)."""
+    leaves = jax.tree_util.tree_leaves(params)
+    if any(isinstance(l, jax.Array) for l in leaves):
+        # No donation: callers may keep using the unquantized originals
+        # (tests compare against them), and XLA frees them as soon as the
+        # caller drops its reference anyway.
+        fn = {"int8": quantize_linear_jnp, "int4": quantize_linear4_jnp}[mode]
+        return jax.jit(lambda p: _quantize_tree(p, fn))(params)
+    return _quantize_tree(params, {"int8": quantize_linear, "int4": quantize_linear4}[mode])
+
+
+def _quantize_tree(params: dict, quantize) -> dict:
     out = dict(params)
 
     def quant_layers(layers: dict) -> dict:

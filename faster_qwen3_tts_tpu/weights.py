@@ -29,7 +29,7 @@ from .models import talker as talker_lib
 
 
 def init_all(
-    cfg: Qwen3TTSConfig, seed: int = 0, dtype=jnp.bfloat16, device_put: bool = True
+    cfg: Qwen3TTSConfig, seed: int = 0, dtype=jnp.bfloat16, device_put: bool = True, rng=None
 ) -> Dict[str, Any]:
     """Random-init parameters for the full model bundle.
 
@@ -38,19 +38,126 @@ def init_all(
     round trip, which dominates load time on tunneled TPU setups).
     """
     params = {
-        "talker": talker_lib.init_params(seed, cfg.talker, dtype=dtype),
+        "talker": talker_lib.init_params(seed, cfg.talker, dtype=dtype, rng=rng),
         "predictor": predictor_lib.init_params(
-            seed + 1000, cfg.predictor, cfg.talker.hidden_size, dtype=dtype
+            seed + 1000, cfg.predictor, cfg.talker.hidden_size, dtype=dtype, rng=rng
         ),
         # Codec decoder math stays in f32: it is a tiny fraction of total
         # FLOPs and waveform quality is sensitive to mantissa width.
-        "codec": codec_lib.init_params(seed + 2000, cfg.codec, dtype=jnp.float32),
+        "codec": codec_lib.init_params(seed + 2000, cfg.codec, dtype=jnp.float32, rng=rng),
     }
     if device_put:
         import jax
 
         params = jax.device_put(params)
     return params
+
+
+# Sentinel magnitude used by the deferred-init skeleton. Small enough that
+# (sentinel * any init scale) is unambiguously distinguishable from real
+# initialized values, large enough to stay a normal number in bfloat16.
+_INIT_SENTINEL = 1e-30
+
+
+class _SentinelArray:
+    """Lazy constant 'array' for the init skeleton: O(1) memory and O(1)
+    for the scale-multiplies and dtype casts the init code applies. Every
+    random-init leaf in this codebase is `standard_normal(shape) * scale`
+    (possibly then `.astype(...)` / `np.asarray(..., dtype)`), so supporting
+    `*`, `astype` and `__array__` with a broadcast view covers them all —
+    without materializing or converting ~1 B elements on the host (measured:
+    minutes of single-core numpy/ml_dtypes time for the real skeleton)."""
+
+    def __init__(self, shape, value):
+        import numpy as np
+
+        self.shape = tuple(shape)
+        self.value = float(value)
+        self._np = np
+
+    def __mul__(self, scale):
+        return _SentinelArray(self.shape, self.value * float(scale))
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, x):
+        return _SentinelArray(self.shape, self.value / float(x))
+
+    def astype(self, dtype):
+        return self._np.broadcast_to(self._np.asarray(self.value, dtype), self.shape)
+
+    def __array__(self, dtype=None, copy=None):
+        return self._np.broadcast_to(
+            self._np.asarray(self.value, dtype or self._np.float32), self.shape
+        )
+
+
+class _SentinelRng:
+    """Stub RNG for `init_all_device`: standard_normal returns a lazy
+    constant `_INIT_SENTINEL` array. Since every random-init leaf is
+    `standard_normal(shape) * scale`, the resulting leaf value encodes its
+    init scale (= value / sentinel), which the device-side generator
+    recovers. Non-random leaves (ones/zeros/constant fills) don't touch the
+    RNG and come out exact."""
+
+    def standard_normal(self, shape, dtype=None):
+        return _SentinelArray(shape, _INIT_SENTINEL)
+
+
+def init_all_device(cfg: Qwen3TTSConfig, seed: int = 0, dtype=jnp.bfloat16) -> Dict[str, Any]:
+    """Random-init the full bundle ON DEVICE — no host-side RNG, no bulk
+    host->device weight transfer.
+
+    Host random init of the ~1B-parameter bundle takes minutes of single-core
+    numpy time and the ~2 GB transfer takes minutes more through a tunneled
+    TPU connection (measured: ~10 min + ~6 min for 0.6B in this environment).
+    Here the host builds only a sentinel-filled skeleton (milliseconds), and
+    one jitted program regenerates every random leaf with `jax.random.normal`
+    at its recovered init scale directly in HBM. Weight VALUES differ from
+    `init_all` (different RNG), so golden/parity fixtures keep using the host
+    path; benchmarks opt in via FQ3T_DEVICE_INIT=1.
+    """
+    import jax
+    import numpy as np
+
+    skeleton = init_all(cfg, seed=seed, dtype=dtype, device_put=False, rng=_SentinelRng())
+    leaves, treedef = jax.tree_util.tree_flatten(skeleton)
+
+    sentinel_meta = []  # (leaf index, shape, dtype, scale)
+    host_idx = []
+    for i, leaf in enumerate(leaves):
+        a = np.asarray(leaf)
+        # NOTE: no dtype-kind gate — ml_dtypes bfloat16 reports kind 'V'.
+        # The value test alone is decisive: only sentinel-filled leaves can
+        # hold 0 < |x| < 1e-20 (integer/bool/ones/zero/const-fill leaves
+        # can't, and real init scales are >= ~1e-3).
+        v = float(abs(np.float32(a.flat[0]))) if a.size else 0.0
+        if 0.0 < v < 1e-20:
+            sentinel_meta.append((i, a.shape, a.dtype, v / _INIT_SENTINEL))
+        else:
+            host_idx.append(i)
+
+    def _gen(key):
+        ks = jax.random.split(key, len(sentinel_meta))
+        return [
+            (jax.random.normal(k, shape, jnp.float32) * scale).astype(dt)
+            for k, (_i, shape, dt, scale) in zip(ks, sentinel_meta)
+        ]
+
+    # 'rbg' PRNG: counter-based hardware RNG path whose HLO is a single tiny
+    # op per leaf — the default threefry lowering for ~1e8-element draws x150
+    # leaves produces a program that erratic remote compilers chew on for
+    # minutes. Init quality needs no cryptographic stream.
+    key = jax.random.key(seed, impl="rbg")
+    generated = jax.jit(_gen)(key)
+    shipped = jax.device_put([np.asarray(leaves[i]) for i in host_idx])
+
+    out: list = [None] * len(leaves)
+    for (i, *_), g in zip(sentinel_meta, generated):
+        out[i] = g
+    for i, s in zip(host_idx, shipped):
+        out[i] = s
+    return jax.tree_util.tree_unflatten(treedef, out)
 
 
 # ---------------------------------------------------------------------------

@@ -69,3 +69,71 @@ def test_hf_import_maps_layers(tiny_config, tmp_path):
     )
     head = np.asarray(params["talker"]["codec_head"])
     np.testing.assert_allclose(head, raw["talker.codec_head.weight"].T, rtol=1e-6)
+
+
+def test_init_all_device_matches_host_structure(tiny_config):
+    """Device init: same pytree structure/shapes/dtypes as host init; random
+    leaves regenerate at the right scale; constant leaves are exact."""
+    host = weights_lib.init_all(tiny_config, seed=0, device_put=False)
+    dev = weights_lib.init_all_device(tiny_config, seed=0)
+
+    h_leaves, h_def = jax.tree_util.tree_flatten(host)
+    d_leaves, d_def = jax.tree_util.tree_flatten(dev)
+    assert h_def == d_def
+    n_random = 0
+    for h, d in zip(h_leaves, d_leaves):
+        h = np.asarray(h)
+        da = np.asarray(d)
+        assert h.shape == da.shape and h.dtype == da.dtype
+        hstd = float(np.std(np.asarray(h, np.float32)))
+        # constant leaves (norm ones, biases, layer scales) must be exact
+        if h.size and np.all(h == h.flat[0]):
+            np.testing.assert_array_equal(da, h)
+        elif h.size >= 256:
+            n_random += 1
+            dstd = float(np.std(np.asarray(da, np.float32)))
+            assert dstd > 0, "random leaf came back constant"
+            # scale recovered through the sentinel (bf16-rounded): ~same std
+            assert 0.6 < dstd / max(hstd, 1e-30) < 1.6, (h.shape, hstd, dstd)
+    assert n_random > 5  # the trick actually exercised random leaves
+
+
+def test_device_init_quantizes_on_device(tiny_config):
+    """quantize_model_params on device-resident params stays traceable and
+    produces the same structure as the host path."""
+    from faster_qwen3_tts_tpu.ops import quant as quant_lib
+
+    dev = weights_lib.init_all_device(tiny_config, seed=0)
+    q_dev = quant_lib.quantize_model_params(dev, "int8")
+    host = weights_lib.init_all(tiny_config, seed=0, device_put=False)
+    q_host = quant_lib.quantize_model_params(host, "int8")
+    dl, ddef = jax.tree_util.tree_flatten(q_dev)
+    hl, hdef = jax.tree_util.tree_flatten(q_host)
+    assert ddef == hdef
+    for d, h in zip(dl, hl):
+        assert np.asarray(d).shape == np.asarray(h).shape
+        assert np.asarray(d).dtype == np.asarray(h).dtype
+    # int4 path too
+    q4 = quant_lib.quantize_model_params(weights_lib.init_all_device(tiny_config, seed=1), "int4")
+    assert jax.tree_util.tree_flatten(q4)[1] == jax.tree_util.tree_flatten(
+        quant_lib.quantize_model_params(
+            weights_lib.init_all(tiny_config, seed=1, device_put=False), "int4"
+        )
+    )[1]
+
+
+def test_quantize_jnp_matches_numpy():
+    """Device-side quantizers are numerically identical to the host ones."""
+    from faster_qwen3_tts_tpu.ops import quant as quant_lib
+
+    rng = np.random.default_rng(3)
+    w = rng.standard_normal((64, 48), dtype=np.float32)
+    q_np = quant_lib.quantize_linear(w)
+    q_j = quant_lib.quantize_linear_jnp(jnp.asarray(w))
+    np.testing.assert_array_equal(np.asarray(q_j.q), q_np.q)
+    np.testing.assert_allclose(np.asarray(q_j.scale), q_np.scale, rtol=1e-6)
+    q4_np = quant_lib.quantize_linear4(w)
+    q4_j = quant_lib.quantize_linear4_jnp(jnp.asarray(w))
+    np.testing.assert_array_equal(np.asarray(q4_j.packed), q4_np.packed)
+    np.testing.assert_allclose(np.asarray(q4_j.scale), q4_np.scale, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(q4_j.wmin), q4_np.wmin, rtol=1e-6)
