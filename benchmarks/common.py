@@ -25,9 +25,16 @@ MODEL_IDS = {
 
 
 def enable_compile_cache():
+    """Opt-in persistent compile cache (FQ3T_JAX_CACHE=<dir>). On this
+    environment's tunneled TPU the cache captures nothing and its
+    serialization attempts stall compiles by minutes, so default OFF."""
+    import os
+
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/fq3t_jax_cache")
+    if not os.environ.get("FQ3T_JAX_CACHE"):
+        return
+    jax.config.update("jax_compilation_cache_dir", os.environ["FQ3T_JAX_CACHE"])
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 

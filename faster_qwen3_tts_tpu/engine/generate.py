@@ -14,6 +14,7 @@ Timing dict contracts match the reference exactly:
 """
 from __future__ import annotations
 
+import os
 import time
 from typing import Any, Dict, Generator, Optional, Tuple
 
@@ -65,6 +66,21 @@ def _bucket_pow2(n: int, lo: int = 16) -> int:
     while b < n:
         b *= 2
     return b
+
+
+def tth_bucket(n: int) -> int:
+    """Static trailing-text bucket: ONE size for every text up to the cap.
+
+    The executable signature includes the trailing-text array, so a per-text
+    pow2 bucket would mean a full recompile of the decode/fused-vocode
+    executables per text-length class — minutes each through a remote
+    compiler. Text positions past the real text already resolve to tts_pad
+    (reference generate.py:168-171), so padding to one static size is
+    semantics-invariant; the per-step gather over 256 rows is noise. Longer
+    texts (rare; the demo caps at 1000 chars) fall back to pow2 buckets.
+    """
+    cap = int(os.environ.get("FQ3T_TTH_BUCKET", "256"))
+    return cap if n <= cap else _bucket_pow2(n, lo=cap)
 
 
 def _pad_left(tie: np.ndarray, mask: np.ndarray, bucket: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -120,7 +136,7 @@ class GenerationSession:
         P = tie.shape[1]
         bucket = prefill_bucket(P, max_seq_len)
         tie_b, mask_b = _pad_left(tie, attention_mask, bucket)
-        t_bucket = _bucket_pow2(trailing_text.shape[1])
+        t_bucket = tth_bucket(trailing_text.shape[1])
         tth_b = _pad_trailing(trailing_text, tts_pad_embed, t_bucket)
 
         self.tie = jnp.asarray(tie_b, dtype)
@@ -430,17 +446,32 @@ def fast_generate_streaming_fused(
     fused_enabled = os.environ.get("FQ3T_FUSED_VOCODE", "1") != "0"
 
     def dispatch(idx: int):
-        """Queue the chunk with index `idx` on the device."""
-        if idx == 0 and fuse_first_chunk and fused_enabled:
-            return ("fused0", sess.decode_chunk_fused_async(chunk_size, 0))
-        if fused_enabled and total >= context_frames:
-            # The device-side hist carry is only valid if it holds exactly
-            # `context_frames` frames (a preceding plain or fused0 chunk
-            # leaves it stale/short) — rebuild it from host history then.
-            if sess.hist is None or sess.hist.shape[1] != context_frames:
-                sess.set_codec_history(np.concatenate(history, axis=0), context_frames)
-            return ("fused", sess.decode_chunk_fused_async(chunk_size, context_frames))
-        return ("plain", sess.decode_chunk_async(chunk_size))
+        """Queue the chunk with index `idx` on the device.
+
+        Non-ICL streams are fused END TO END: the window context grows
+        min(total, context_frames), so every chunk (0, 8, 16, 24, 24, ...)
+        is one device program + one fetch and the host codec path is never
+        touched (each growing ctx is its own compiled executable; sample
+        offsets stay exactly contiguous because chunk k emits window-local
+        [ctx*up - D, (ctx+chunk)*up - D)). ICL keeps the host accumulated
+        decode until `context_frames` of generated frames exist, because its
+        early vocoder calls must prepend the reference codes
+        (reference model.py:919-923, 1085-1114)."""
+        if not fused_enabled:
+            return ("plain", sess.decode_chunk_async(chunk_size))
+        if total == 0:
+            if fuse_first_chunk:
+                return ("fused0", sess.decode_chunk_fused_async(chunk_size, 0))
+            return ("plain", sess.decode_chunk_async(chunk_size))
+        if not fuse_first_chunk and total < context_frames:
+            return ("plain", sess.decode_chunk_async(chunk_size))  # ICL warm-in
+        ctx = min(total, context_frames)
+        # The device-side hist carry is only valid if it holds exactly `ctx`
+        # frames (a preceding plain/fused0/smaller-ctx chunk leaves it
+        # stale/short) — rebuild it from host history then.
+        if sess.hist is None or sess.hist.shape[1] != ctx:
+            sess.set_codec_history(np.concatenate(history, axis=0), ctx)
+        return ("fused", sess.decode_chunk_fused_async(chunk_size, ctx))
 
     pending = dispatch(0)
     while total < max_new_tokens:

@@ -194,9 +194,16 @@ class FasterQwen3TTS:
                     "(benchmark/test mode).",
                     model_name,
                 )
-                params = weights_lib.init_all(
-                    config, seed=seed, dtype=dtype, device_put=False
-                )
+                if os.environ.get("FQ3T_DEVICE_INIT", "0") == "1":
+                    # Generate weights directly in HBM: skips minutes of
+                    # single-core host RNG + the multi-GB transfer (see
+                    # weights.init_all_device). Benchmarks opt in; tests and
+                    # golden fixtures keep the seeded host init.
+                    params = weights_lib.init_all_device(config, seed=seed, dtype=dtype)
+                else:
+                    params = weights_lib.init_all(
+                        config, seed=seed, dtype=dtype, device_put=False
+                    )
                 tok = PromptTokenizer(load_tokenizer(None))
 
         from .ops import quant as quant_lib
@@ -211,9 +218,16 @@ class FasterQwen3TTS:
 
     # ---------------------------------------------------------------- warmup
 
-    def warmup(self, prefill_len: int = 100) -> None:
+    def warmup(self, prefill_len: int = 100, chunk_sizes=None) -> None:
         """AOT-compile the hot executables (the CUDA-graph-capture analog,
-        reference model.py:239-256). Idempotent."""
+        reference model.py:239-256). Idempotent.
+
+        The trailing-text array is built at the STATIC tth bucket
+        (engine.generate.tth_bucket), so the compiled decode/fused executables
+        serve every text length up to the cap — no silent recompiles on the
+        first real request. prefill executables are per prompt bucket; pass
+        the expected prompt length to precompile the right one.
+        """
         if self._warmed_up:
             return
         logger.info("Warming up jitted executables...")
@@ -222,7 +236,7 @@ class FasterQwen3TTS:
         bucket = gen_lib.prefill_bucket(prefill_len, self.max_seq_len)
         tie = np.zeros((1, bucket, H), np.float32)
         mask = np.ones((1, bucket), np.int32)
-        tth = np.zeros((1, 16, H), np.float32)
+        tth = np.zeros((1, gen_lib.tth_bucket(1), H), np.float32)
         tpe = np.zeros((1, 1, H), np.float32)
         from .ops.sampling import SamplingParams
 
@@ -231,21 +245,34 @@ class FasterQwen3TTS:
             SamplingParams(), SamplingParams(), 2, seed=0, dtype=self.dtype,
         )
         sess.prefill()
-        for chunk in (8, 12, self.device_chunk):
+        logger.info("warmup: prefill compiled (%.1fs)", time.perf_counter() - t0)
+        if chunk_sizes is None:
+            chunk_sizes = (8, 12, self.device_chunk)
+            fused_chunks = (8, 12)  # streaming sizes; device_chunk is non-streaming
+        else:
+            fused_chunks = tuple(chunk_sizes)
+        for chunk in dict.fromkeys(chunk_sizes):
             sess.decode_chunk(chunk)
+            logger.info("warmup: decode_chunk(%d) compiled (%.1fs)", chunk, time.perf_counter() - t0)
         if os.environ.get("FQ3T_FUSED_VOCODE", "1") != "0":
             # Fused decode+vocode executables (the TTFA/steady-state path):
-            # ctx=0 (first chunk) and ctx=24 (sliding window) per chunk size.
-            ctx = 24
+            # one per (chunk size, window ctx) with ctx growing
+            # min(k*chunk, 24) — non-ICL streams never touch the host codec.
+            max_ctx = 24
             ncg = self.config.talker.num_code_groups
-            for chunk in (8, 12):
-                sess.decode_chunk_fused_async(chunk, 0)
-                sess.set_codec_history(np.zeros((ctx, ncg), np.int32), ctx)
-                flat = sess.decode_chunk_fused_async(chunk, ctx)
-                np.asarray(flat)  # block: serialize compiles
+            for chunk in dict.fromkeys(fused_chunks):
+                np.asarray(sess.decode_chunk_fused_async(chunk, 0))
+                logger.info("warmup: fused(%d, ctx=0) compiled (%.1fs)", chunk, time.perf_counter() - t0)
+                ctxs = sorted({min(k * chunk, max_ctx) for k in (1, 2, 3)})
+                for ctx in ctxs:
+                    sess.set_codec_history(np.zeros((max_ctx, ncg), np.int32), ctx)
+                    flat = sess.decode_chunk_fused_async(chunk, ctx)
+                    np.asarray(flat)  # block: serialize compiles
+                    logger.info("warmup: fused(%d, ctx=%d) compiled (%.1fs)", chunk, ctx, time.perf_counter() - t0)
+        else:
             # Host codec bucket (regime-2 accumulated decode, first buckets).
             self._speech_tokenizer.decode(
-                {"audio_codes": np.zeros((1, 32, ncg), np.int32)}
+                {"audio_codes": np.zeros((1, 32, self.config.talker.num_code_groups), np.int32)}
             )
         self._warmed_up = True
         logger.info("Warmup complete in %.1fs", time.perf_counter() - t0)

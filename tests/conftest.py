@@ -10,6 +10,9 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("FQ3T_DISABLE_PALLAS", "1")
+# Small static trailing-text bucket: test texts are tiny; the production
+# default (256) would just slow CPU compiles (shape-generic code either way).
+os.environ.setdefault("FQ3T_TTH_BUCKET", "32")
 
 import pytest  # noqa: E402
 import jax  # noqa: E402
