@@ -87,7 +87,8 @@ class SpeechTokenizerFacade:
         wav = codec_lib.decode_frames_jit(
             self._params["codec"], cfg, jnp.asarray(codes[None], jnp.int32)
         )
-        return np.asarray(wav[0, :exact], np.float32)
+        # fetch-then-slice (eager device indexing = a one-off program)
+        return np.asarray(wav, np.float32)[0, :exact]
 
     def _exact_len(self, T: int) -> int:
         cfg = self._cfg.codec
@@ -274,6 +275,22 @@ class FasterQwen3TTS:
             self._speech_tokenizer.decode(
                 {"audio_codes": np.zeros((1, 32, self.config.talker.num_code_groups), np.int32)}
             )
+        # Prompt-assembly jits (text-hidden buckets, codec-id embeds, x-vector
+        # projection): each is a separate executable that would otherwise
+        # compile silently inside the first real request.
+        self.prompt_builder.specials()
+        logger.info("warmup: specials embed jit compiled (%.1fs)", time.perf_counter() - t0)
+        self.prompt_builder.speaker_embed_from_xvector(np.zeros(2048, np.float32))
+        logger.info("warmup: x-vector projection jit compiled (%.1fs)", time.perf_counter() - t0)
+        warm_text = "The quick brown fox jumps over the lazy dog warms buckets."
+        warm_prompt = {
+            "ref_spk_embedding": [np.zeros(2048, np.float32)],
+            "x_vector_only_mode": [True], "icl_mode": [False], "ref_code": [None],
+        }
+        self._prepare_generation(
+            warm_text, language="English", voice_clone_prompt=warm_prompt, xvec_only=True
+        )
+        logger.info("warmup: prompt-assembly jits compiled (%.1fs)", time.perf_counter() - t0)
         self._warmed_up = True
         logger.info("Warmup complete in %.1fs", time.perf_counter() - t0)
 

@@ -243,7 +243,7 @@ class VoiceExtractor:
             self.params["speaker_encoder"], self.cfg.speaker_encoder,
             jnp.asarray(padded), jnp.asarray(mask),
         )
-        return np.asarray(emb[0], np.float32)
+        return np.asarray(emb, np.float32)[0]
 
     def extract_codes(self, audio: np.ndarray, sr: int) -> np.ndarray:
         """audio -> [T, 16] RVQ codec tokens (the ICL acoustic prompt)."""
@@ -265,4 +265,4 @@ class VoiceExtractor:
         codes = _rvq_encode(
             self.params["codec"]["code_embed"], latents, ccfg.num_quantizers, ccfg.codebook_size
         )
-        return np.asarray(codes[0, :n_frames], np.int32)
+        return np.asarray(codes, np.int32)[0, :n_frames]

@@ -100,7 +100,9 @@ class PromptBuilder:
         padded = np.zeros((1, b), np.int32)
         padded[:, :L] = ids
         out = _text_hidden_jit(self.params["talker"], jnp.asarray(padded))
-        return np.asarray(out[0, :L], np.float32)
+        # fetch-then-slice: eager device indexing would dispatch a tiny
+        # one-off program per call (slow/wedge-prone on remote backends)
+        return np.asarray(out, np.float32)[0, :L]
 
     def _codec_embed(self, ids: Sequence[int]) -> np.ndarray:
         key = tuple(int(i) for i in np.asarray(ids).reshape(-1))
@@ -113,7 +115,7 @@ class PromptBuilder:
         padded = np.zeros((1, b), np.int32)
         padded[:, :L] = ids
         out = _codec_embed_jit(self.params["talker"], jnp.asarray(padded))
-        result = np.asarray(out[0, :L], np.float32)
+        result = np.asarray(out, np.float32)[0, :L]
         self._codec_embed_cache[key] = result
         return result
 
@@ -124,7 +126,7 @@ class PromptBuilder:
         padded = np.zeros((1, b, codes.shape[1]), np.int32)
         padded[0, :T] = codes
         out = _frame_embeds_jit(self.params["talker"], self.params["predictor"], jnp.asarray(padded))
-        return np.asarray(out[0, :T], np.float32)
+        return np.asarray(out, np.float32)[0, :T]
 
     def _h(self) -> int:
         return self.cfg.talker.hidden_size
@@ -146,7 +148,7 @@ class PromptBuilder:
         if hit is not None:
             return hit
         out = _speaker_proj_jit(self.params["talker"], jnp.asarray(xvec.reshape(1, -1), jnp.float32))
-        result = np.asarray(out[0], np.float32)
+        result = np.asarray(out, np.float32)[0]
         self._xvec_cache[key] = result
         return result
 
