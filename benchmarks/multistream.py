@@ -20,6 +20,7 @@ import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import numpy as np
 
@@ -35,10 +36,11 @@ def main():
     args = ap.parse_args()
 
     import jax
-
-    jax.config.update("jax_compilation_cache_dir", "/tmp/fq3t_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
+
+    from common import enable_compile_cache
+
+    enable_compile_cache()  # opt-in via FQ3T_JAX_CACHE
 
     from faster_qwen3_tts_tpu import weights as weights_lib
     from faster_qwen3_tts_tpu.config import get_config
@@ -51,11 +53,13 @@ def main():
     cfg = get_config(name)
     print(f"backend={jax.default_backend()} model={args.model} quant={args.quant}",
           file=sys.stderr)
-    params = weights_lib.init_all(cfg, seed=0, dtype=jnp.bfloat16, device_put=False)
+    # device-side init + in-HBM quantization: seconds instead of ~10 min of
+    # host RNG + transfer through a tunneled chip
+    params = weights_lib.init_all_device(cfg, seed=0, dtype=jnp.bfloat16)
+    params = {"talker": params["talker"], "predictor": params["predictor"]}
     mode = quant_lib.resolve_quant_name(args.quant)
     if mode != "none":
         params = quant_lib.quantize_model_params(params, mode)
-    params = jax.device_put({"talker": params["talker"], "predictor": params["predictor"]})
 
     H = cfg.talker.hidden_size
     sampling = SamplingParams()

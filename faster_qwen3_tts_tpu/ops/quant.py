@@ -182,38 +182,47 @@ def quantize_model_params(params: dict, mode: str = "int8") -> dict:
     Embedding tables and norms stay in their original dtype (gathers only read
     the rows they need; norms are tiny and precision-sensitive). The codec
     decoder stays f32 (small fraction of FLOPs, waveform-quality sensitive).
-    mode: "int8" (Q8_0-class, per-channel) or "int4" (Q4_K_M-class,
-    group-wise). Host (numpy) params quantize on host; device-resident params
-    quantize in ONE jitted program (originals donated/freed)."""
+    mode: "int8" (Q8_0-class, per-channel), "int4" (Q4_K_M-class,
+    group-wise), or "mixed" (Q8_4: talker int8, predictor int4 — the
+    predictor streams its weights 15x per frame, so int4 there cuts the
+    dominant HBM term while the quality-sensitive talker stays int8).
+    Host (numpy) params quantize on host; device-resident params quantize in
+    ONE jitted program."""
+    talker_mode, pred_mode = {
+        "int8": ("int8", "int8"),
+        "int4": ("int4", "int4"),
+        "mixed": ("int8", "int4"),
+    }[mode]
     leaves = jax.tree_util.tree_leaves(params)
     if any(isinstance(l, jax.Array) for l in leaves):
         # No donation: callers may keep using the unquantized originals
         # (tests compare against them), and XLA frees them as soon as the
         # caller drops its reference anyway.
-        fn = {"int8": quantize_linear_jnp, "int4": quantize_linear4_jnp}[mode]
-        return jax.jit(lambda p: _quantize_tree(p, fn))(params)
-    return _quantize_tree(params, {"int8": quantize_linear, "int4": quantize_linear4}[mode])
+        fns = {"int8": quantize_linear_jnp, "int4": quantize_linear4_jnp}
+        return jax.jit(lambda p: _quantize_tree(p, fns[talker_mode], fns[pred_mode]))(params)
+    fns = {"int8": quantize_linear, "int4": quantize_linear4}
+    return _quantize_tree(params, fns[talker_mode], fns[pred_mode])
 
 
-def _quantize_tree(params: dict, quantize) -> dict:
+def _quantize_tree(params: dict, quantize_talker, quantize_pred) -> dict:
     out = dict(params)
 
-    def quant_layers(layers: dict) -> dict:
+    def quant_layers(layers: dict, quantize) -> dict:
         new = dict(layers)
         for k in _LAYER_WEIGHTS:
             new[k] = quantize(layers[k])
         return new
 
     t = dict(params["talker"])
-    t["layers"] = quant_layers(t["layers"])
-    t["codec_head"] = quantize(t["codec_head"])
-    t["text_proj"] = {"w": quantize(t["text_proj"]["w"]), "b": t["text_proj"]["b"]}
+    t["layers"] = quant_layers(t["layers"], quantize_talker)
+    t["codec_head"] = quantize_talker(t["codec_head"])
+    t["text_proj"] = {"w": quantize_talker(t["text_proj"]["w"]), "b": t["text_proj"]["b"]}
     out["talker"] = t
 
     p = dict(params["predictor"])
-    p["layers"] = quant_layers(p["layers"])
-    p["lm_heads"] = quantize(p["lm_heads"])
-    p["mtp_proj"] = {"w": quantize(p["mtp_proj"]["w"]), "b": p["mtp_proj"]["b"]}
+    p["layers"] = quant_layers(p["layers"], quantize_pred)
+    p["lm_heads"] = quantize_pred(p["lm_heads"])
+    p["mtp_proj"] = {"w": quantize_pred(p["mtp_proj"]["w"]), "b": p["mtp_proj"]["b"]}
     out["predictor"] = p
     return out
 
@@ -227,6 +236,9 @@ def resolve_quant_name(quant: str) -> str:
         return "int8"
     if key in ("q4_k_m", "q4_k", "int4", "q4", "q4_0"):
         return "int4"
+    if key in ("q8_4", "mixed"):
+        return "mixed"
     raise ValueError(
-        f"Unsupported quant {quant!r}. Expected BF16/F32, Q8_0/int8, or Q4_K_M/int4."
+        f"Unsupported quant {quant!r}. Expected BF16/F32, Q8_0/int8, Q4_K_M/int4, "
+        "or Q8_4/mixed (talker int8 + predictor int4)."
     )

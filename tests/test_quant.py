@@ -112,7 +112,7 @@ def test_int4_logit_cosine_guardrail(tiny_config):
     assert cos8 > cos and cos8 > 0.999, (cos8, cos)
 
 
-@pytest.mark.parametrize("mode", ["int8", "int4"])
+@pytest.mark.parametrize("mode", ["int8", "int4", "mixed"])
 def test_quantized_generation(tiny_config, mode):
     """Full API generation with quantized weights produces valid frames."""
     from faster_qwen3_tts_tpu.model import FasterQwen3TTS
@@ -138,3 +138,16 @@ def test_quantized_generation(tiny_config, mode):
     )
     assert audio[0].size > 500
     assert np.abs(audio[0]).max() <= 1.0
+
+
+def test_mixed_mode_structure(tiny_config):
+    """Q8_4: talker weights int8, predictor weights int4."""
+    from faster_qwen3_tts_tpu import weights as weights_lib
+
+    params = weights_lib.init_all(tiny_config, seed=0, dtype=jnp.float32, device_put=False)
+    q = quant.quantize_model_params(params, "mixed")
+    assert isinstance(q["talker"]["layers"]["wq"], quant.QuantizedLinear)
+    assert isinstance(q["talker"]["codec_head"], quant.QuantizedLinear)
+    assert isinstance(q["predictor"]["layers"]["wq"], quant.QuantizedLinear4)
+    assert isinstance(q["predictor"]["lm_heads"], quant.QuantizedLinear4)
+    assert quant.resolve_quant_name("Q8_4") == "mixed"
