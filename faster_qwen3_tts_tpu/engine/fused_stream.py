@@ -73,10 +73,14 @@ def _vocode_window(
         audio = jax.lax.dynamic_slice_in_dim(wav, start, chunk_size * up, axis=1)
         emitted = chunk_size * up
     new_hist = window[:, -max(ctx, 1) :]
+    # Token/flag metadata rides as exact f32 VALUES (all < 2^24), NOT as an
+    # int32->f32 bitcast: small int bit patterns are f32 denormals, and TPU
+    # compute units flush denormals to zero — a bitcast transport silently
+    # zeroed every token and valid flag on hardware (CPU tests passed).
     flat = jnp.concatenate(
         [
             audio.reshape(-1).astype(jnp.float32),
-            jax.lax.bitcast_convert_type(packed.reshape(-1), jnp.float32),
+            packed.reshape(-1).astype(jnp.float32),
             jnp.full((1,), float(emitted), jnp.float32),
         ]
     )
@@ -127,7 +131,7 @@ def split_fused_output(flat, chunk_size: int, batch: int, num_code_groups: int, 
     arr = np.asarray(flat)
     n_audio = batch * chunk_size * up
     audio = arr[:n_audio].reshape(batch, chunk_size * up)
-    meta = arr[n_audio:-1].view(np.int32).reshape(chunk_size, batch, num_code_groups + 2)
+    meta = arr[n_audio:-1].astype(np.int32).reshape(chunk_size, batch, num_code_groups + 2)
     emitted = int(arr[-1])
     valid = meta[:, 0, -2].astype(bool)
     done = bool(meta[0, 0, -1])

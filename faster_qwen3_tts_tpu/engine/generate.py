@@ -473,11 +473,22 @@ def fast_generate_streaming_fused(
             sess.set_codec_history(np.concatenate(history, axis=0), ctx)
         return ("fused", sess.decode_chunk_fused_async(chunk_size, ctx))
 
+    debug = os.environ.get("FQ3T_DEBUG_STREAM") == "1"
     pending = dispatch(0)
+    if debug:
+        import sys
+
+        print(f"[stream-debug] dispatched chunk 0 kind={pending[0]}", file=sys.stderr, flush=True)
     while total < max_new_tokens:
         t0 = time.perf_counter()
         kind, dev = pending
         pending = None
+        if debug:
+            import sys
+
+            tok = np.asarray(sess.state.token)
+            print(f"[stream-debug] decode chain done (token={tok.ravel()[:1]}), fetching {kind}...",
+                  file=sys.stderr, flush=True)
         if kind == "plain":
             frames, done = sess.materialize(dev)
             audio = None
@@ -494,6 +505,14 @@ def fast_generate_streaming_fused(
             if kind == "plain":
                 sess.hist = None  # device window stale; re-upload on next fused
             total += frames.shape[0]
+        elif not done:
+            # A chunk with zero valid frames and no EOS means the engine is
+            # not advancing (e.g. corrupted flags). Fail loudly: silently
+            # re-dispatching spins forever with no output.
+            raise RuntimeError(
+                f"decode chunk {chunk_index} returned 0 valid frames without EOS "
+                f"(kind={kind}, total={total}) — engine state is not advancing"
+            )
         # dispatch-ahead from the second chunk on (chunk 0's audio path must
         # not queue behind chunk 1 — that is the TTFA path)
         if not stream_done and chunk_index >= 1:

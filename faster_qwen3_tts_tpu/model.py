@@ -291,6 +291,12 @@ class FasterQwen3TTS:
             warm_text, language="English", voice_clone_prompt=warm_prompt, xvec_only=True
         )
         logger.info("warmup: prompt-assembly jits compiled (%.1fs)", time.perf_counter() - t0)
+        # Keep the warmup session's device buffers alive: releasing them here
+        # fires a burst of buffer-delete RPCs exactly as the first real
+        # request dispatches, which reproducibly wedges this environment's
+        # tunneled TPU client (first fused fetch never returns). On direct
+        # TPU runtimes this only costs one idle KV cache until shutdown.
+        self._warm_sess = sess
         self._warmed_up = True
         logger.info("Warmup complete in %.1fs", time.perf_counter() - t0)
 

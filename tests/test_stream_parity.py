@@ -163,3 +163,39 @@ def test_fused_first_chunk_and_big_chunk_transition(model, prompt):
     total = sum(len(a) for f, a, t in fused if a is not None)
     # chunk0 emits 24*up - D; steady chunks emit 24*up each
     assert total == 48 * up - D
+
+
+def test_fused_transport_has_no_denormals(model, prompt):
+    """The fused single-fetch array must carry token/flag metadata as exact
+    f32 VALUES, never int32->f32 bitcasts: small int bit patterns are f32
+    denormals, and TPU compute units flush denormals to zero (silently
+    zeroing every token and valid flag on hardware while CPU tests pass).
+    """
+    import numpy as np
+
+    from faster_qwen3_tts_tpu.engine import generate as gen_lib
+    from faster_qwen3_tts_tpu.ops.sampling import SamplingParams
+
+    tie, tam, tth, tpe, _rc = model._prepare_generation(
+        "denormal transport check", "English", voice_clone_prompt=prompt, xvec_only=True
+    )
+    sess = gen_lib.GenerationSession(
+        model.params, model.config, tie, tam, tth, tpe, model.max_seq_len,
+        SamplingParams(), gen_lib.predictor_sampling(), 2, seed=0,
+    )
+    sess.prefill()
+    flat = np.asarray(sess.decode_chunk_fused_async(4, 0))
+    up = model.config.codec.total_upsample
+    ncg = model.config.talker.num_code_groups
+    meta = flat[4 * up : -1]
+    # every metadata value is an integer-valued NORMAL float (or exact zero)
+    assert np.all(meta == np.round(meta))
+    nonzero = meta[meta != 0]
+    assert nonzero.size  # tokens + valid flags present
+    assert np.all(np.abs(nonzero) >= 1.0)
+    # and the round trip recovers plausible codec tokens
+    audio, frames, done, emitted = gen_lib.GenerationSession.materialize_fused(
+        sess, flat, 4
+    )
+    assert frames.shape[0] == 4 and frames.shape[1] == ncg
+    assert frames.min() >= 0
