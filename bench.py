@@ -51,7 +51,9 @@ RESULT_TAG = "BENCH_RESULT "
 # ---------------------------------------------------------------------------
 
 
-def run_bench(model_size: str, frames: int, chunk: int, runs: int, smoke: bool, quant: str = "BF16"):
+def run_bench(model_size: str, frames: int, chunk: int, runs: int, smoke: bool, quant: str = "BF16",
+              first_chunk: int = 0):
+    first_chunk = first_chunk or None
     import numpy as np
 
     # Device-side weight init: host RNG + the multi-GB weight transfer cost
@@ -97,7 +99,7 @@ def run_bench(model_size: str, frames: int, chunk: int, runs: int, smoke: bool, 
     # line per step (heartbeats for the parent watchdog). prefill_len=10
     # matches the bench's short xvec prompt (prefill bucket 32) so the
     # measured runs hit only precompiled executables.
-    model.warmup(prefill_len=10, chunk_sizes=(chunk,))
+    model.warmup(prefill_len=10, chunk_sizes=(chunk,), first_chunk_size=first_chunk)
     log(f"model.warmup() done at {time.perf_counter()-t0:.1f}s")
 
     rng = np.random.default_rng(0)
@@ -117,7 +119,7 @@ def run_bench(model_size: str, frames: int, chunk: int, runs: int, smoke: bool, 
         n_frames = 0
         for audio, sr, timing in model.generate_voice_clone_streaming(
             text, "English", voice_clone_prompt=prompt, max_new_tokens=frames,
-            chunk_size=chunk, seed=seed,
+            chunk_size=chunk, seed=seed, first_chunk_size=first_chunk,
         ):
             if ttfa is None:
                 ttfa = (time.perf_counter() - t_start) * 1000.0
@@ -133,7 +135,7 @@ def run_bench(model_size: str, frames: int, chunk: int, runs: int, smoke: bool, 
     n = 0
     for _ in model.generate_voice_clone_streaming(
         text, "English", voice_clone_prompt=prompt, max_new_tokens=frames,
-        chunk_size=chunk, seed=0,
+        chunk_size=chunk, seed=0, first_chunk_size=first_chunk,
     ):
         n += 1
         log(f"  warmup stream chunk {n} at {time.perf_counter()-t0:.0f}s")
@@ -176,6 +178,7 @@ def run_bench(model_size: str, frames: int, chunk: int, runs: int, smoke: bool, 
             "baseline_rtf_rtx4090": BASELINE_RTF[model_size],
             "baseline_ttfa_ms_rtx4090": BASELINE_TTFA_MS[model_size],
             "quant": quant,
+            "first_chunk_size": first_chunk,
             "fused_vocode": os.environ.get("FQ3T_FUSED_VOCODE", "1") != "0",
         },
     }
@@ -196,7 +199,7 @@ def _run_child(args, extra_env: dict, stall_secs: float, attempt: int):
         sys.executable, os.path.abspath(__file__), "--child",
         "--model", args.model, "--frames", str(args.frames),
         "--chunk", str(args.chunk), "--runs", str(args.runs),
-        "--quant", args.quant,
+        "--quant", args.quant, "--first-chunk", str(args.first_chunk),
     ] + (["--smoke"] if args.smoke else [])
     log(f"[watchdog] attempt {attempt}: {extra_env or '{}'}")
     proc = subprocess.Popen(
@@ -247,12 +250,15 @@ def main():
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--quant", default="Q8_0")
+    ap.add_argument("--first-chunk", type=int, default=int(os.environ.get("FQ3T_BENCH_FIRST_CHUNK", "4")),
+                    help="smaller fused first chunk for TTFA (0 = same as --chunk)")
     ap.add_argument("--stall-secs", type=float, default=float(os.environ.get("FQ3T_BENCH_STALL_SECS", "420")))
     ap.add_argument("--child", action="store_true", help=argparse.SUPPRESS)
     args = ap.parse_args()
 
     if args.child:
-        result = run_bench(args.model, args.frames, args.chunk, args.runs, args.smoke, args.quant)
+        result = run_bench(args.model, args.frames, args.chunk, args.runs, args.smoke, args.quant,
+                           first_chunk=args.first_chunk)
         print(RESULT_TAG + json.dumps(result), flush=True)
         return
 

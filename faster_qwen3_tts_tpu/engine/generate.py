@@ -403,6 +403,7 @@ def fast_generate_streaming_fused(
     seed: Optional[int] = None,
     context_frames: int = 24,
     fuse_first_chunk: bool = False,
+    first_chunk_size: Optional[int] = None,
     subtalker_dosample: Optional[bool] = None,
     subtalker_top_k: Optional[int] = None,
     subtalker_top_p: Optional[float] = None,
@@ -417,6 +418,11 @@ def fast_generate_streaming_fused(
     reference's phase-1 accumulated decode, model.py:1085-1114). Set
     fuse_first_chunk=False when the caller must prepend ICL reference codes
     to the very first vocoder call.
+
+    first_chunk_size (default = chunk_size): a SMALLER first chunk cuts TTFA
+    by the skipped frames' decode time — the first audio block shrinks
+    (e.g. 4 frames = 320 ms) but stays far above the steady-state chunk
+    cycle, so playback never underruns.
     """
     from . import fused_stream
 
@@ -436,6 +442,7 @@ def fast_generate_streaming_fused(
     history: list = []
     total = 0
     chunk_index = 0
+    first_cs = first_chunk_size or chunk_size
 
     import os
 
@@ -457,21 +464,22 @@ def fast_generate_streaming_fused(
         decode until `context_frames` of generated frames exist, because its
         early vocoder calls must prepend the reference codes
         (reference model.py:919-923, 1085-1114)."""
+        cs = first_cs if total == 0 else chunk_size
         if not fused_enabled:
-            return ("plain", sess.decode_chunk_async(chunk_size))
+            return ("plain", sess.decode_chunk_async(cs), cs)
         if total == 0:
             if fuse_first_chunk:
-                return ("fused0", sess.decode_chunk_fused_async(chunk_size, 0))
-            return ("plain", sess.decode_chunk_async(chunk_size))
+                return ("fused0", sess.decode_chunk_fused_async(cs, 0), cs)
+            return ("plain", sess.decode_chunk_async(cs), cs)
         if not fuse_first_chunk and total < context_frames:
-            return ("plain", sess.decode_chunk_async(chunk_size))  # ICL warm-in
+            return ("plain", sess.decode_chunk_async(cs), cs)  # ICL warm-in
         ctx = min(total, context_frames)
         # The device-side hist carry is only valid if it holds exactly `ctx`
         # frames (a preceding plain/fused0/smaller-ctx chunk leaves it
         # stale/short) — rebuild it from host history then.
         if sess.hist is None or sess.hist.shape[1] != ctx:
             sess.set_codec_history(np.concatenate(history, axis=0), ctx)
-        return ("fused", sess.decode_chunk_fused_async(chunk_size, ctx))
+        return ("fused", sess.decode_chunk_fused_async(cs, ctx), cs)
 
     debug = os.environ.get("FQ3T_DEBUG_STREAM") == "1"
     pending = dispatch(0)
@@ -481,7 +489,7 @@ def fast_generate_streaming_fused(
         print(f"[stream-debug] dispatched chunk 0 kind={pending[0]}", file=sys.stderr, flush=True)
     while total < max_new_tokens:
         t0 = time.perf_counter()
-        kind, dev = pending
+        kind, dev, cs = pending
         pending = None
         if debug:
             import sys
@@ -492,12 +500,15 @@ def fast_generate_streaming_fused(
         if kind == "plain":
             frames, done = sess.materialize(dev)
             audio = None
+            frames = frames[: max_new_tokens - total]
         else:
-            audio_full, frames, done, _emitted = sess.materialize_fused(dev, chunk_size)
+            audio_full, frames, done, _emitted = sess.materialize_fused(dev, cs)
+            # clip to the token budget BEFORE slicing audio, so the audio
+            # stops exactly at the last kept frame
+            frames = frames[: max_new_tokens - total]
             v = frames.shape[0]
             n_emit = max(v * up - D, 0) if kind == "fused0" else v * up
             audio = audio_full[0, :n_emit]
-        frames = frames[: max_new_tokens - total]
         decode_ms = (time.perf_counter() - t0) * 1000.0
         stream_done = done or (total + frames.shape[0]) >= max_new_tokens
         if frames.shape[0]:

@@ -219,7 +219,7 @@ class FasterQwen3TTS:
 
     # ---------------------------------------------------------------- warmup
 
-    def warmup(self, prefill_len: int = 100, chunk_sizes=None) -> None:
+    def warmup(self, prefill_len: int = 100, chunk_sizes=None, first_chunk_size=None) -> None:
         """AOT-compile the hot executables (the CUDA-graph-capture analog,
         reference model.py:239-256). Idempotent.
 
@@ -262,9 +262,12 @@ class FasterQwen3TTS:
             max_ctx = 24
             ncg = self.config.talker.num_code_groups
             for chunk in dict.fromkeys(fused_chunks):
-                np.asarray(sess.decode_chunk_fused_async(chunk, 0))
-                logger.info("warmup: fused(%d, ctx=0) compiled (%.1fs)", chunk, time.perf_counter() - t0)
-                ctxs = sorted({min(k * chunk, max_ctx) for k in (1, 2, 3)})
+                first = first_chunk_size or chunk
+                np.asarray(sess.decode_chunk_fused_async(first, 0))
+                logger.info("warmup: fused(%d, ctx=0) compiled (%.1fs)", first, time.perf_counter() - t0)
+                # ctx schedule the driver will hit: totals first, first+chunk,
+                # ... capped at the steady-state window
+                ctxs = sorted({min(first + k * chunk, max_ctx) for k in range(4)})
                 for ctx in ctxs:
                     sess.set_codec_history(np.zeros((max_ctx, ncg), np.int32), ctx)
                     flat = sess.decode_chunk_fused_async(chunk, ctx)
@@ -638,6 +641,7 @@ class FasterQwen3TTS:
         do_sample: bool = True,
         repetition_penalty: float = 1.05,
         chunk_size: int = 12,
+        first_chunk_size: Optional[int] = None,
         xvec_only: bool = False,
         non_streaming_mode: Optional[bool] = None,
         append_silence: bool = True,
@@ -667,7 +671,7 @@ class FasterQwen3TTS:
                 max_seq_len=self.max_seq_len, max_new_tokens=max_new_tokens,
                 min_new_tokens=min_new_tokens, temperature=temperature, top_k=top_k,
                 top_p=top_p, do_sample=do_sample, repetition_penalty=repetition_penalty,
-                chunk_size=chunk_size, seed=seed,
+                chunk_size=chunk_size, seed=seed, first_chunk_size=first_chunk_size,
             )
             stream = ((f, None, t) for f, t in stream)
         else:
@@ -676,7 +680,7 @@ class FasterQwen3TTS:
                 max_seq_len=self.max_seq_len, max_new_tokens=max_new_tokens,
                 min_new_tokens=min_new_tokens, temperature=temperature, top_k=top_k,
                 top_p=top_p, do_sample=do_sample, repetition_penalty=repetition_penalty,
-                chunk_size=chunk_size, seed=seed,
+                chunk_size=chunk_size, seed=seed, first_chunk_size=first_chunk_size,
                 # The ctx=0 fused first chunk is the TTFA path (audio comes
                 # out of the same device program as the tokens, one fetch).
                 # ICL must keep the host path: the first vocode prepends the
@@ -821,6 +825,7 @@ class FasterQwen3TTS:
         do_sample: bool = True,
         repetition_penalty: float = 1.05,
         chunk_size: int = 12,
+        first_chunk_size: Optional[int] = None,
         seed: Optional[int] = None,
     ) -> Generator[Tuple[np.ndarray, int, Dict[str, Any]], None, None]:
         if self.tts_model_type != "custom_voice":
@@ -839,6 +844,7 @@ class FasterQwen3TTS:
             min_new_tokens=min_new_tokens, temperature=temperature, top_k=top_k,
             top_p=top_p, do_sample=do_sample, repetition_penalty=repetition_penalty,
             chunk_size=chunk_size, seed=seed, fuse_first_chunk=True,
+            first_chunk_size=first_chunk_size,
         )
         yield from self._stream_decode(stream, chunk_size, None)
 
@@ -893,6 +899,7 @@ class FasterQwen3TTS:
         do_sample: bool = True,
         repetition_penalty: float = 1.05,
         chunk_size: int = 12,
+        first_chunk_size: Optional[int] = None,
         seed: Optional[int] = None,
     ) -> Generator[Tuple[np.ndarray, int, Dict[str, Any]], None, None]:
         if self.tts_model_type != "voice_design":
@@ -908,5 +915,6 @@ class FasterQwen3TTS:
             min_new_tokens=min_new_tokens, temperature=temperature, top_k=top_k,
             top_p=top_p, do_sample=do_sample, repetition_penalty=repetition_penalty,
             chunk_size=chunk_size, seed=seed, fuse_first_chunk=True,
+            first_chunk_size=first_chunk_size,
         )
         yield from self._stream_decode(stream, chunk_size, None)
