@@ -238,9 +238,23 @@ def stack_decode(
         )
         return h, (k_cache, v_cache)
 
-    h, (ks, vs) = jax.lax.scan(body, x, (stacked_params, cache.k, cache.v))
+    h, (ks, vs) = jax.lax.scan(
+        body, x, (stacked_params, cache.k, cache.v), unroll=_decode_unroll()
+    )
     h = rms_norm(final_norm, h, shape.rms_eps)
     return h, KVCache(k=ks, v=vs)
+
+
+def _decode_unroll() -> int:
+    """Layer-scan unroll factor for the decode step (FQ3T_SCAN_UNROLL).
+
+    Unrolling lets XLA overlap layer l+1's HBM weight streaming with layer
+    l's compute inside the scan body — the decode step is bandwidth-bound,
+    so this is the main single-op lever. Default 2; 1 = strict scan.
+    """
+    import os
+
+    return max(1, int(os.environ.get("FQ3T_SCAN_UNROLL", "2")))
 
 
 # ---------------------------------------------------------------------------
