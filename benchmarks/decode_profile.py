@@ -29,11 +29,19 @@ from common import load_model, save_results, xvec_prompt
 
 
 def _timeit(fn, n=20, warmup=3):
+    """Wall time per call with the host<->device round trip amortized:
+    dispatch n async calls (device serializes them), block ONCE at the end.
+    On a tunneled chip a per-call block would add ~30 ms RTT to every
+    sample and drown sub-frame stages."""
+    import jax
+
     for _ in range(warmup):
-        fn()
+        jax.block_until_ready(fn())
     t0 = time.perf_counter()
+    out = None
     for _ in range(n):
-        fn()
+        out = fn()
+    jax.block_until_ready(out)
     return (time.perf_counter() - t0) / n * 1000.0
 
 
@@ -84,40 +92,41 @@ def main():
     embeds = jax.block_until_ready(tok_embed)
 
     # --- predictor loop alone ---
+    # params as jit ARGUMENTS, never closure constants: captured weights get
+    # baked into the serialized HLO (HTTP 413 on remote compile services)
     pred_fn = jax.jit(
-        lambda pi, k: predictor_lib.predict_codebooks(
-            pparams, pcfg, pi, k, gen_lib.predictor_sampling()
+        lambda pp, pi, k: predictor_lib.predict_codebooks(
+            pp, pcfg, pi, k, gen_lib.predictor_sampling()
         )
     )
-    pred_ms = _timeit(lambda: jax.block_until_ready(pred_fn(pred_input, key)))
+    pred_ms = _timeit(lambda: pred_fn(pparams, pred_input, key))
 
     # --- talker decode step alone (cache not donated here: isolation timing) ---
     talk_fn = jax.jit(
-        lambda e, pos, rp, cache, lm: talker_lib.decode_step(tparams, tcfg, e, pos, rp, cache, lm)
+        lambda tp, e, pos, rp, cache, lm: talker_lib.decode_step(tp, tcfg, e, pos, rp, cache, lm)
     )
     cache = state.cache
     talk_ms = _timeit(
-        lambda: jax.block_until_ready(talk_fn(embeds, state.pos, rope_pos, cache, length_mask)[0])
+        lambda: talk_fn(tparams, embeds, state.pos, rope_pos, cache, length_mask)[0]
     )
 
     # --- codec head + sampling alone ---
-    hidden = jax.block_until_ready(talk_fn(embeds, state.pos, rope_pos, cache, length_mask)[0])
+    hidden = jax.block_until_ready(talk_fn(tparams, embeds, state.pos, rope_pos, cache, length_mask)[0])
     suppress = make_suppress_mask(tcfg.vocab_size, tcfg.codec_eos_token_id)
 
-    def _sample(h, seen, k):
-        logits = talker_lib.codec_logits(tparams, h[:, 0, :])
+    def _sample(tp, h, seen, k):
+        logits = talker_lib.codec_logits(tp, h[:, 0, :])
         logits = apply_repetition_penalty(logits, seen, sampling.repetition_penalty)
         return sample_logits(k, logits, sampling, suppress_mask=suppress)
 
     sample_fn = jax.jit(_sample)
-    samp_ms = _timeit(lambda: jax.block_until_ready(sample_fn(hidden, state.seen, key)))
+    samp_ms = _timeit(lambda: sample_fn(tparams, hidden, state.seen, key))
 
     # --- production fused chunk (per frame) ---
     def chunk_once():
-        packed = sess.decode_chunk_async(chunk)
-        sess.materialize(packed)
+        return sess.decode_chunk_async(chunk)
 
-    chunk_once()  # compile
+    sess.materialize(chunk_once())  # compile
     fused_ms_frame = _timeit(chunk_once, n=10) / chunk
 
     parts = pred_ms + talk_ms + samp_ms

@@ -85,26 +85,38 @@ def quantize_linear4(w, group: int = 32) -> QuantizedLinear4:
 
 
 def _dot4(x: jax.Array, w: QuantizedLinear4) -> jax.Array:
-    """Grouped int4 matmul: unpack nibbles, per-group partial dots, then the
-    (scale, min) contraction. f32 accumulation throughout.
+    """Grouped int4 matmul via an even/odd-row split. f32 accumulation.
 
-    y = sum_g (x_g @ q_g) * scale_g + (sum_i x_gi) * min_g
+    The packing stores rows interleaved (high nibble = even row 2j, low
+    nibble = odd row 2j+1), so
+
+        y = x_even @ hi + x_odd @ lo        (per group, then scale+min)
+
+    which keeps BOTH weight operands as uint8 arrays whose nibble-extract +
+    convert can fuse into the dot reads — the earlier formulation stacked
+    and reshaped the nibbles back into a full [in, out] matrix, which XLA
+    materialized at activation width (MORE HBM traffic than unquantized,
+    measured 2.2x slower end-to-end).
+
+    y_g = sum_j x_g[2j] hi_g[j,o] + x_g[2j+1] lo_g[j,o]
+    y   = sum_g y_g * scale_g + (sum_i x_g[i]) * min_g
     """
-    p = w.packed
+    p = w.packed  # [..., in/2, out]
     hi = jnp.right_shift(p, 4)
     lo = p & 0xF
-    q = jnp.stack([hi, lo], axis=-2)  # [..., in/2, 2, out]
-    I = 2 * p.shape[-2]
-    O = p.shape[-1]
-    q = q.reshape(*p.shape[:-2], I, O)
+    I2, O = p.shape[-2], p.shape[-1]
     n_groups = w.scale.shape[-2]
-    G = I // n_groups
-    qg = q.reshape(*p.shape[:-2], n_groups, G, O).astype(x.dtype)
+    G2 = I2 // n_groups  # packed rows per group
     lead = x.shape[:-1]
-    xg = x.reshape(*lead, n_groups, G)
-    yg = jnp.einsum("...gi,gio->...go", xg, qg, preferred_element_type=jnp.float32)
+    xr = x.reshape(*lead, I2, 2)  # [..., in/2, 2]: [...,j,0]=x[2j], [...,j,1]=x[2j+1]
+    x_even = xr[..., 0].reshape(*lead, n_groups, G2)
+    x_odd = xr[..., 1].reshape(*lead, n_groups, G2)
+    hi_g = hi.reshape(*p.shape[:-2], n_groups, G2, O).astype(x.dtype)
+    lo_g = lo.reshape(*p.shape[:-2], n_groups, G2, O).astype(x.dtype)
+    yg = jnp.einsum("...gi,gio->...go", x_even, hi_g, preferred_element_type=jnp.float32)
+    yg = yg + jnp.einsum("...gi,gio->...go", x_odd, lo_g, preferred_element_type=jnp.float32)
     y = jnp.einsum("...go,go->...o", yg, w.scale.astype(jnp.float32))
-    xsum = jnp.sum(xg.astype(jnp.float32), axis=-1)  # [..., n_groups]
+    xsum = jnp.sum(x.reshape(*lead, n_groups, -1).astype(jnp.float32), axis=-1)
     y = y + jnp.einsum("...g,go->...o", xsum, w.wmin.astype(jnp.float32))
     return y.astype(x.dtype)
 
