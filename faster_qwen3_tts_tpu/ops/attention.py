@@ -104,9 +104,12 @@ def _use_pallas() -> Optional[bool]:
 
 def decode_attention(q, k_cache, v_cache, length_mask):
     use = _use_pallas()
-    if use is False:
-        return decode_attention_xla(q, k_cache, v_cache, length_mask)
-    if use is None and jax.default_backend() != "tpu":
+    if use is not True:
+        # Default XLA: the on-chip A/B (benchmarks/pallas_ab.py, v5e, 0.6B
+        # Q8_0) measured the Pallas kernel at 11.89 ms/frame vs XLA 11.64 —
+        # XLA's decode attention is already bandwidth-shaped for this
+        # geometry. FQ3T_PALLAS=1 opts the kernel in (and makes load
+        # failures fatal).
         return decode_attention_xla(q, k_cache, v_cache, length_mask)
     try:
         from .decode_attn_pallas import decode_attention_pallas
