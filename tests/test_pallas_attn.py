@@ -50,9 +50,10 @@ def test_forced_pallas_failure_is_fatal(monkeypatch):
         attention.decode_attention(q, kc, vc, mask)
 
 
-def test_auto_fallback_warns_and_works(monkeypatch, caplog):
-    import logging
-
+def test_auto_uses_xla_even_on_tpu(monkeypatch):
+    """Auto mode is XLA everywhere: the on-chip A/B measured the Pallas
+    kernel slightly SLOWER (benchmarks/pallas_ab.py), so a broken kernel
+    must never even be reached without FQ3T_PALLAS=1."""
     import jax.numpy as jnp
     import numpy as np
 
@@ -64,13 +65,11 @@ def test_auto_fallback_warns_and_works(monkeypatch, caplog):
     monkeypatch.setattr(decode_attn_pallas, "decode_attention_pallas", boom)
     monkeypatch.delenv("FQ3T_DISABLE_PALLAS", raising=False)
     monkeypatch.delenv("FQ3T_PALLAS", raising=False)
-    # force the pallas branch even on CPU by making the backend look like tpu
+    # even when the backend looks like TPU, auto must not touch pallas
     monkeypatch.setattr(attention.jax, "default_backend", lambda: "tpu")
     q = jnp.ones((1, 1, 4, 16), jnp.float32)
     kc = jnp.ones((1, 32, 2, 16), jnp.float32)
     vc = jnp.ones((1, 32, 2, 16), jnp.float32)
     mask = jnp.ones((1, 32), jnp.int32)
-    with caplog.at_level(logging.WARNING):
-        out = attention.decode_attention(q, kc, vc, mask)
-    assert "Pallas decode-attention unavailable" in caplog.text
+    out = attention.decode_attention(q, kc, vc, mask)  # no raise, no pallas
     assert np.asarray(out).shape == (1, 1, 4, 16)
