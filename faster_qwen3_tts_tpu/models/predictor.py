@@ -169,8 +169,14 @@ def predict_codebooks(
         tok = sample_logits(jax.random.fold_in(key, step), logits, sampling)
         return (cache, tok), tok
 
+    import os
+
+    # The 14 sequential steps are tiny programs (5-layer stack over 1 token);
+    # unrolling lets XLA fuse across steps and overlap weight streaming with
+    # compute. FQ3T_PRED_UNROLL=14 inlines the whole loop.
+    unroll = max(1, int(os.environ.get("FQ3T_PRED_UNROLL", "1")))
     steps = jnp.arange(1, cfg.num_codebooks)
-    (_, _), toks = jax.lax.scan(body, (full, tok0), steps)
+    (_, _), toks = jax.lax.scan(body, (full, tok0), steps, unroll=unroll)
     # toks: [14, B]; prepend tok0 -> [B, 15]
     all_toks = jnp.concatenate([tok0[None, :], toks], axis=0)
     return jnp.transpose(all_toks, (1, 0))
