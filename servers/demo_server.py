@@ -192,7 +192,8 @@ def _run_generation(model, payload: dict, out_q: queue.Queue):
         mode = payload.get("mode", "clone")
         text = payload["text"]
         chunk_size = int(payload.get("chunk_size", 8))
-        common = dict(chunk_size=chunk_size, max_new_tokens=int(payload.get("max_new_tokens", 600)))
+        common = dict(chunk_size=chunk_size, max_new_tokens=int(payload.get("max_new_tokens", 600)),
+                      first_chunk_size=min(4, chunk_size))
         if mode == "custom":
             gen = model.generate_custom_voice_streaming(
                 text, speaker=payload["speaker"], language=payload.get("language", "English"),

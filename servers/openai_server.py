@@ -66,6 +66,9 @@ def _stream_chunks(text: str, voice: dict, chunk_size: int, out_q: queue.Queue):
             ref_text=voice.get("ref_text", ""),
             xvec_only=bool(voice.get("xvec_only", False)),
             chunk_size=chunk_size,
+            # 4-frame fused first chunk: first audio ~50 ms earlier per
+            # skipped frame (same steady-state chunk cadence afterwards)
+            first_chunk_size=min(4, chunk_size),
             voice_clone_prompt=voice.get("voice_clone_prompt"),
         )
         for audio, sr, timing in gen:
