@@ -250,11 +250,14 @@ def _decode_unroll() -> int:
 
     Unrolling lets XLA overlap layer l+1's HBM weight streaming with layer
     l's compute inside the scan body — the decode step is bandwidth-bound,
-    so this is the main single-op lever. Default 2; 1 = strict scan.
+    so this is the main single-op lever. On-chip A/B (0.6B, decode-only
+    chunk): BF16 99.2 -> 65.0 ms/chunk at unroll=4 (unroll=8 regresses to
+    88.5); with the predictor loop also unrolled, Q8_0 hits 33.6 ms/chunk
+    (4.2 ms/frame). Default 4; 1 = strict scan.
     """
     import os
 
-    return max(1, int(os.environ.get("FQ3T_SCAN_UNROLL", "2")))
+    return max(1, int(os.environ.get("FQ3T_SCAN_UNROLL", "4")))
 
 
 # ---------------------------------------------------------------------------

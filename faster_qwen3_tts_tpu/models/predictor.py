@@ -173,8 +173,9 @@ def predict_codebooks(
 
     # The 14 sequential steps are tiny programs (5-layer stack over 1 token);
     # unrolling lets XLA fuse across steps and overlap weight streaming with
-    # compute. FQ3T_PRED_UNROLL=14 inlines the whole loop.
-    unroll = max(1, int(os.environ.get("FQ3T_PRED_UNROLL", "1")))
+    # compute. Default: fully inlined (on-chip A/B: Q8_0 decode 55 -> 33.6
+    # ms/chunk combined with the layer-scan unroll).
+    unroll = max(1, int(os.environ.get("FQ3T_PRED_UNROLL", "14")))
     steps = jnp.arange(1, cfg.num_codebooks)
     (_, _), toks = jax.lax.scan(body, (full, tok0), steps, unroll=unroll)
     # toks: [14, B]; prepend tok0 -> [B, 15]
