@@ -252,7 +252,9 @@ def main():
     ap.add_argument("--quant", default="Q8_0")
     ap.add_argument("--first-chunk", type=int, default=int(os.environ.get("FQ3T_BENCH_FIRST_CHUNK", "4")),
                     help="smaller fused first chunk for TTFA (0 = same as --chunk)")
-    ap.add_argument("--stall-secs", type=float, default=float(os.environ.get("FQ3T_BENCH_STALL_SECS", "420")))
+    # Longest legitimately-silent span = ONE remote executable compile; the
+    # unrolled 1.7B decode program can exceed 7 min cold.
+    ap.add_argument("--stall-secs", type=float, default=float(os.environ.get("FQ3T_BENCH_STALL_SECS", "700")))
     ap.add_argument("--child", action="store_true", help=argparse.SUPPRESS)
     args = ap.parse_args()
 
