@@ -13,6 +13,12 @@ os.environ.setdefault("FQ3T_DISABLE_PALLAS", "1")
 # Small static trailing-text bucket: test texts are tiny; the production
 # default (256) would just slow CPU compiles (shape-generic code either way).
 os.environ.setdefault("FQ3T_TTH_BUCKET", "32")
+# Strict scans on CPU: the production unroll defaults (4 / full) exist to
+# overlap HBM streaming on TPU and only slow single-core CPU compiles here
+# (suite 9 min -> 15+ min). Numerical equivalence across unroll settings is
+# pinned by the goldens (verified under both).
+os.environ.setdefault("FQ3T_SCAN_UNROLL", "1")
+os.environ.setdefault("FQ3T_PRED_UNROLL", "1")
 
 import pytest  # noqa: E402
 import jax  # noqa: E402
