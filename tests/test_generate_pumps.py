@@ -83,3 +83,56 @@ def test_subtalker_override_changes_codebooks(setup):
     )
     # high-temperature sampled predictor output diverges
     assert (np.asarray(greedy[:, 1:]) != np.asarray(mixed[:, 1:])).any()
+
+
+def test_first_chunk_size_sample_exact(setup):
+    """A smaller fused first chunk yields identical tokens AND identical
+    total audio sample count/content vs the uniform-chunk run (same seed)."""
+    params, cfg, (tie, tam, tth, tpe) = setup
+
+    def run(fcs):
+        frames_all, audio_all = [], []
+        for frames, audio, timing in gen_lib.fast_generate_streaming_fused(
+            params, cfg, tie, tam, tth, tpe, max_seq_len=64, max_new_tokens=12,
+            chunk_size=4, seed=7, fuse_first_chunk=True, first_chunk_size=fcs,
+        ):
+            frames_all.append(frames)
+            if audio is not None:
+                audio_all.append(audio)
+        return np.concatenate(frames_all), np.concatenate(audio_all)
+
+    f_uniform, a_uniform = run(None)
+    f_small, a_small = run(2)
+    np.testing.assert_array_equal(f_uniform, f_small)
+    assert a_uniform.shape == a_small.shape
+    np.testing.assert_allclose(a_uniform, a_small, atol=1e-4)
+
+
+def test_tth_bucket_static_single_executable_shape(setup):
+    """Different text lengths land in ONE static trailing-text bucket (the
+    executable signature axis that used to recompile per text-length)."""
+    import os
+
+    from faster_qwen3_tts_tpu.engine.generate import tth_bucket
+
+    cap = int(os.environ.get("FQ3T_TTH_BUCKET", "256"))
+    assert tth_bucket(1) == cap
+    assert tth_bucket(cap) == cap
+    assert tth_bucket(cap + 1) == 2 * cap  # pow2 fallback for overlong text
+
+    params, cfg, _ = setup
+    builder = PromptBuilder(params, cfg)
+    tok = PromptTokenizer(ByteTokenizer())
+    vcp = dict(ref_code=[None],
+               ref_spk_embedding=[np.zeros(2048, np.float32)],
+               x_vector_only_mode=[True], icl_mode=[False])
+    shapes = set()
+    for text in ("ab", "short but longer text"):  # both under the test bucket cap
+        ids = tok.assistant_ids(text)
+        tie, tam, tth, tpe = builder.build([ids], [None], vcp, ["English"], None, False)
+        sess = gen_lib.GenerationSession(
+            params, cfg, tie, tam, tth, tpe, 64,
+            gen_lib.SamplingParams(), gen_lib.predictor_sampling(), 2, seed=0,
+        )
+        shapes.add(sess.tth.shape)
+    assert len(shapes) == 1, shapes
