@@ -60,6 +60,10 @@ def main():
     mode = quant_lib.resolve_quant_name(args.quant)
     if mode != "none":
         params = quant_lib.quantize_model_params(params, mode)
+    import os as _os
+
+    if _os.environ.get("FQ3T_FUSE_QKV", "0") == "1":
+        params = quant_lib.fuse_layer_weights(params)
 
     H = cfg.talker.hidden_size
     sampling = SamplingParams()

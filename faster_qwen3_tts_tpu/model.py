@@ -212,6 +212,10 @@ class FasterQwen3TTS:
         mode = quant_lib.resolve_quant_name(quant)
         if mode != "none":
             params = quant_lib.quantize_model_params(params, mode)
+        if os.environ.get("FQ3T_FUSE_QKV", "0") == "1":
+            # Fused QKV / gate-up projections (single-chip layout; TP
+            # sharding needs the per-head splits, see quant.fuse_layer_weights)
+            params = quant_lib.fuse_layer_weights(params)
         # ONE batched transfer for the whole bundle (per-array transfers
         # dominate load time through tunneled device connections).
         params = jax.device_put(params)

@@ -103,9 +103,18 @@ class LayerShape:
 
 def _qkv(lp, x, shape: LayerShape):
     B, S, _ = x.shape
-    q = _dot(x, lp["wq"]).reshape(B, S, shape.num_heads, shape.head_dim)
-    k = _dot(x, lp["wk"]).reshape(B, S, shape.num_kv_heads, shape.head_dim)
-    v = _dot(x, lp["wv"]).reshape(B, S, shape.num_kv_heads, shape.head_dim)
+    qd = shape.num_heads * shape.head_dim
+    kd = shape.num_kv_heads * shape.head_dim
+    if "wqkv" in lp:
+        # fused projection (ops.quant.fuse_layer_weights): one matmul, then
+        # static output splits — numerically identical per output column
+        y = _dot(x, lp["wqkv"])
+        q, k, v = y[..., :qd], y[..., qd : qd + kd], y[..., qd + kd :]
+    else:
+        q, k, v = _dot(x, lp["wq"]), _dot(x, lp["wk"]), _dot(x, lp["wv"])
+    q = q.reshape(B, S, shape.num_heads, shape.head_dim)
+    k = k.reshape(B, S, shape.num_kv_heads, shape.head_dim)
+    v = v.reshape(B, S, shape.num_kv_heads, shape.head_dim)
     # Qwen3-style per-head-dim q/k RMSNorm.
     q = rms_norm(lp["q_norm"], q, shape.rms_eps)
     k = rms_norm(lp["k_norm"], k, shape.rms_eps)
@@ -113,8 +122,13 @@ def _qkv(lp, x, shape: LayerShape):
 
 
 def _mlp(lp, x):
-    gate = _dot(x, lp["w_gate"])
-    up = _dot(x, lp["w_up"])
+    if "w_gateup" in lp:
+        y = _dot(x, lp["w_gateup"])
+        inter = y.shape[-1] // 2
+        gate, up = y[..., :inter], y[..., inter:]
+    else:
+        gate = _dot(x, lp["w_gate"])
+        up = _dot(x, lp["w_up"])
     return _dot(jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up, lp["w_down"])
 
 

@@ -254,3 +254,52 @@ def resolve_quant_name(quant: str) -> str:
         f"Unsupported quant {quant!r}. Expected BF16/F32, Q8_0/int8, Q4_K_M/int4, "
         "or Q8_4/mixed (talker int8 + predictor int4)."
     )
+
+
+def _concat_out(ws):
+    """Concatenate linears along the output dim; handles plain /
+    QuantizedLinear / QuantizedLinear4 (all per-output-channel metadata,
+    so concatenation is exact)."""
+    w0 = ws[0]
+    if isinstance(w0, QuantizedLinear):
+        return QuantizedLinear(
+            q=jnp.concatenate([w.q for w in ws], axis=-1),
+            scale=jnp.concatenate([w.scale for w in ws], axis=-1),
+        )
+    if isinstance(w0, QuantizedLinear4):
+        return QuantizedLinear4(
+            packed=jnp.concatenate([w.packed for w in ws], axis=-1),
+            scale=jnp.concatenate([w.scale for w in ws], axis=-1),
+            wmin=jnp.concatenate([w.wmin for w in ws], axis=-1),
+        )
+    import numpy as np
+
+    xp = jnp if any(isinstance(w, jax.Array) for w in ws) else np
+    return xp.concatenate(list(ws), axis=-1)
+
+
+def fuse_layer_weights(params: dict) -> dict:
+    """Fuse per-layer QKV and gate/up projections into single matmuls.
+
+    Decode steps are [1, H] vector-matrix products; 7 small matmuls per
+    layer become 4 larger ones — fewer fusions to launch and longer
+    contiguous HBM weight reads for the same bytes. Numerically exact:
+    each output column's dot product (and its per-channel quant scale) is
+    unchanged by concatenation along the output dim.
+
+    SINGLE-CHIP layout: tensor-parallel sharding needs per-head q/k/v
+    splits, so parallel/mesh.py keeps the unfused names.
+    """
+
+    def fuse(layers: dict) -> dict:
+        new = dict(layers)
+        new["wqkv"] = _concat_out([new.pop("wq"), new.pop("wk"), new.pop("wv")])
+        new["w_gateup"] = _concat_out([new.pop("w_gate"), new.pop("w_up")])
+        return new
+
+    out = dict(params)
+    for sub in ("talker", "predictor"):
+        m = dict(out[sub])
+        m["layers"] = fuse(m["layers"])
+        out[sub] = m
+    return out

@@ -151,3 +151,42 @@ def test_mixed_mode_structure(tiny_config):
     assert isinstance(q["predictor"]["layers"]["wq"], quant.QuantizedLinear4)
     assert isinstance(q["predictor"]["lm_heads"], quant.QuantizedLinear4)
     assert quant.resolve_quant_name("Q8_4") == "mixed"
+
+
+@pytest.mark.parametrize("mode", ["none", "int8", "int4"])
+def test_fused_layer_weights_exact(tiny_config, mode):
+    """fuse_layer_weights: decode outputs identical to the unfused layout
+    (concatenation along the output dim preserves every column's dot product
+    and per-channel quant metadata)."""
+    import jax
+
+    from faster_qwen3_tts_tpu import weights as weights_lib
+    from faster_qwen3_tts_tpu.engine import core
+    from faster_qwen3_tts_tpu.ops.sampling import SamplingParams
+
+    params = weights_lib.init_all(tiny_config, seed=3, dtype=jnp.float32)
+    if mode != "none":
+        params = quant.quantize_model_params(params, mode)
+    fused = quant.fuse_layer_weights(params)
+    assert "wqkv" in fused["talker"]["layers"] and "wq" not in fused["talker"]["layers"]
+
+    tc = tiny_config.talker
+    H = tc.hidden_size
+    embeds = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, 16, H), np.float32) * 0.05
+    )
+    mask = jnp.ones((1, 16), jnp.int32)
+    sampling = SamplingParams(do_sample=False)
+    outs = []
+    for p in (params, fused):
+        state, _ = core.start_state(
+            p["talker"], tc, embeds, mask, jax.random.PRNGKey(0), 64, sampling, 2
+        )
+        tth = jnp.zeros((1, 8, H), jnp.float32)
+        tpe = jnp.zeros((1, 1, H), jnp.float32)
+        _, packed = core.decode_chunk(
+            p["talker"], p["predictor"], tc, tiny_config.predictor,
+            state, tth, tpe, 4, sampling, SamplingParams(do_sample=False), 2,
+        )
+        outs.append(np.asarray(packed))
+    np.testing.assert_array_equal(outs[0], outs[1])
