@@ -44,6 +44,11 @@ class TalkerConfig:
     text_hidden_size: int = 2048
     attention_bias: bool = False
     sliding_window: Optional[int] = None
+    # Per-layer attention kinds ("full_attention" | "sliding_attention"),
+    # mirroring the upstream config's `layer_types` (reference
+    # predictor_graph.py:58 reads it; model.py:619-680 lists the field).
+    # None + sliding_window set => every layer sliding (HF derivation).
+    layer_types: Optional[Tuple[str, ...]] = None
     max_position_embeddings: int = 32768
 
     # --- special codec ids (top-1024 control band) ---
@@ -110,6 +115,7 @@ class PredictorConfig:
     num_code_groups: int = 16
     attention_bias: bool = False
     sliding_window: Optional[int] = None
+    layer_types: Optional[Tuple[str, ...]] = None
 
     @property
     def num_codebooks(self) -> int:  # 15

@@ -123,6 +123,7 @@ class GenerationSession:
         min_new_tokens: int,
         seed: Optional[int] = None,
         dtype=None,
+        mesh=None,
     ):
         self.params = params
         self.cfg = cfg
@@ -139,10 +140,24 @@ class GenerationSession:
         t_bucket = tth_bucket(trailing_text.shape[1])
         tth_b = _pad_trailing(trailing_text, tts_pad_embed, t_bucket)
 
-        self.tie = jnp.asarray(tie_b, dtype)
-        self.mask = jnp.asarray(mask_b, jnp.int32)
-        self.tth = jnp.asarray(tth_b, dtype)
-        self.tpe = jnp.asarray(tts_pad_embed, dtype)
+        if mesh is not None:
+            # Multi-chip: batch over dp (if divisible), everything else
+            # replicated — GSPMD propagates the KV/activation shardings from
+            # here and from the TP-sharded weights (parallel/mesh.py).
+            from jax.sharding import NamedSharding, PartitionSpec as PS
+
+            B = tie_b.shape[0]
+            dp = "dp" if B % mesh.shape["dp"] == 0 and mesh.shape["dp"] > 1 else None
+            put = lambda a, spec: jax.device_put(a, NamedSharding(mesh, spec))
+            self.tie = put(jnp.asarray(tie_b, dtype), PS(dp, None, None))
+            self.mask = put(jnp.asarray(mask_b, jnp.int32), PS(dp, None))
+            self.tth = put(jnp.asarray(tth_b, dtype), PS(dp, None, None))
+            self.tpe = put(jnp.asarray(tts_pad_embed, dtype), PS(None, None, None))
+        else:
+            self.tie = jnp.asarray(tie_b, dtype)
+            self.mask = jnp.asarray(mask_b, jnp.int32)
+            self.tth = jnp.asarray(tth_b, dtype)
+            self.tpe = jnp.asarray(tts_pad_embed, dtype)
 
         if seed is None:
             seed = int(np.random.default_rng().integers(0, 2**31 - 1))
@@ -382,6 +397,77 @@ def fast_generate_streaming(
             break
         if pending is None:
             pending = sess.decode_chunk_async(chunk_size)
+
+
+def fast_generate_streaming_batch(
+    params,
+    cfg: Qwen3TTSConfig,
+    tie,
+    attention_mask,
+    trailing_text,
+    tts_pad_embed,
+    max_seq_len: int = 2048,
+    max_new_tokens: int = 2048,
+    min_new_tokens: int = 2,
+    temperature: float = 0.9,
+    top_k: int = 50,
+    top_p: float = 1.0,
+    do_sample: bool = True,
+    repetition_penalty: float = 1.05,
+    chunk_size: int = 12,
+    seed: Optional[int] = None,
+    mesh=None,
+    subtalker_dosample: Optional[bool] = None,
+    subtalker_top_k: Optional[int] = None,
+    subtalker_top_p: Optional[float] = None,
+    subtalker_temperature: Optional[float] = None,
+) -> Generator[Tuple[np.ndarray, np.ndarray, np.ndarray, Dict[str, Any]], None, None]:
+    """Batched streaming decode: B independent streams in lockstep on one
+    engine batch (optionally sharded over a dp mesh axis).
+
+    tie/attention_mask/trailing_text: [B, ...] stacked left-padded prompts.
+    Yields (frames [chunk, B, 16] int32, valid [chunk, B] bool,
+    done [B] bool, timing) once per device chunk, with dispatch-ahead.
+    Streams that hit EOS keep their slot (masked invalid) until every stream
+    finishes — the compiled executable never changes shape. This is the
+    serving mode the reference lacks (it serializes requests behind a mutex,
+    reference openai_server.py:71; SURVEY §2.3 maps the TPU-native answer).
+    """
+    sampling = SamplingParams(temperature, top_k, top_p, do_sample, repetition_penalty)
+    pred_sampling = predictor_sampling(
+        subtalker_dosample, subtalker_top_k, subtalker_top_p, subtalker_temperature
+    )
+    sess = GenerationSession(
+        params, cfg, tie, attention_mask, trailing_text, tts_pad_embed,
+        max_seq_len, sampling, pred_sampling, min_new_tokens, seed, mesh=mesh,
+    )
+    sess.prefill(block=False)
+
+    totals = np.zeros(tie.shape[0], np.int64)
+    chunk_index = 0
+    pending = sess.decode_chunk_async(chunk_size)
+    while True:
+        t0 = time.perf_counter()
+        frames, valid, done = sess.materialize_batch(pending)
+        pending = None
+        # clip each stream to its token budget
+        cum = valid.cumsum(axis=0) + totals[None, :]
+        valid = valid & (cum <= max_new_tokens)
+        totals += valid.sum(axis=0)
+        decode_ms = (time.perf_counter() - t0) * 1000.0
+        stream_done = bool(np.all(done | (totals >= max_new_tokens)))
+        if not stream_done:
+            pending = sess.decode_chunk_async(chunk_size)
+        yield frames, valid, done, {
+            "chunk_index": chunk_index,
+            "prefill_ms": sess.prefill_ms if chunk_index == 0 else 0.0,
+            "decode_ms": decode_ms,
+            "total_steps_so_far": totals.copy(),
+            "is_final": stream_done,
+        }
+        chunk_index += 1
+        if stream_done:
+            break
 
 
 def fast_generate_streaming_fused(

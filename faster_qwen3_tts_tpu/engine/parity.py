@@ -60,13 +60,24 @@ class _Stack:
     growing per-layer K/V list. Params come from the engine's stacked layout
     ([L, ...] leading axis) but are unstacked into per-layer numpy here."""
 
-    def __init__(self, stacked, final_norm, num_heads, num_kv, head_dim, eps, theta):
+    def __init__(self, stacked, final_norm, num_heads, num_kv, head_dim, eps, theta,
+                 sliding_window=None, layer_types=None):
         mats = {k: _f32(v) for k, v in stacked.items()}  # dequant BEFORE indexing
         L = mats["wq"].shape[0]
         self.layers = [{k: v[i] for k, v in mats.items()} for i in range(L)]
         self.final_norm = _f32(final_norm)
         self.nh, self.nkv, self.hd = num_heads, num_kv, head_dim
         self.eps, self.theta = eps, theta
+        # Per-layer sliding windows (None = full attention), re-derived from
+        # the config's layer_types independently of models/layers.py.
+        if sliding_window is None:
+            self.windows = [None] * L
+        elif layer_types is None:
+            self.windows = [sliding_window] * L
+        else:
+            self.windows = [
+                sliding_window if t == "sliding_attention" else None for t in layer_types
+            ]
         self.k: List[np.ndarray] = [None] * L  # per layer [S, nkv, hd]
         self.v: List[np.ndarray] = [None] * L
         self.pos = 0  # next rope position
@@ -93,6 +104,9 @@ class _Stack:
             scores = np.einsum("shd,thd->hst", q, kk) * (self.hd**-0.5)  # [nh,S,T]
             qpos = self.pos + np.arange(S)[:, None]
             causal = np.arange(T)[None, :] <= qpos  # [S, T]
+            if self.windows[i] is not None:
+                # HF sliding rule: kv allowed iff kv_pos > q_pos - window.
+                causal = causal & (np.arange(T)[None, :] > qpos - self.windows[i])
             scores = np.where(causal[None], scores, -1e30)
             scores = scores - scores.max(-1, keepdims=True)
             probs = np.exp(scores)
@@ -117,6 +131,7 @@ def _predict_codebooks_parity(
         pred_params["layers"], pred_params["final_norm"],
         pcfg.num_attention_heads, pcfg.num_key_value_heads, pcfg.head_dim,
         pcfg.rms_norm_eps, pcfg.rope_theta,
+        sliding_window=pcfg.sliding_window, layer_types=pcfg.layer_types,
     )
     w = _f32(pred_params["mtp_proj"]["w"])
     b = _f32(pred_params["mtp_proj"]["b"])
@@ -158,6 +173,7 @@ def parity_generate_streaming(
     do_sample: bool = True,
     repetition_penalty: float = 1.05,
     chunk_size: int = 12,
+    first_chunk_size: Optional[int] = None,
     seed: Optional[int] = None,
     subtalker_dosample: Optional[bool] = None,
     subtalker_top_k: Optional[int] = None,
@@ -193,6 +209,7 @@ def parity_generate_streaming(
         params["talker"]["layers"], params["talker"]["final_norm"],
         tcfg.num_attention_heads, tcfg.num_key_value_heads, tcfg.head_dim,
         tcfg.rms_norm_eps, tcfg.rope_theta,
+        sliding_window=tcfg.sliding_window, layer_types=tcfg.layer_types,
     )
     codec_embed = _f32(params["talker"]["codec_embed"])
     codec_head = _f32(params["talker"]["codec_head"])
@@ -286,7 +303,10 @@ def parity_generate_streaming(
                           suppress_mask=suppress, suppress_extra=extra)[0]
         )
 
-        if len(buffer) >= chunk_size:
+        # A smaller first chunk mirrors the engine's TTFA path (generate.py
+        # first_chunk_size): chunk 0 flushes early, later chunks at chunk_size.
+        target = (first_chunk_size or chunk_size) if chunk_index == 0 else chunk_size
+        if len(buffer) >= target:
             yield flush(False)
 
     res = flush(True)

@@ -100,6 +100,59 @@ class SpeechTokenizerFacade:
         return n
 
 
+class _StreamVocoder:
+    """Per-stream incremental host vocoder for batched streaming.
+
+    Encapsulates the host-decode regimes of `_stream_decode` (reference
+    model.py:1046-1137): accumulated decode with ICL ref-code prepend until
+    24 context frames exist (phase 1), then a fixed 24-frame-left-context
+    window decode emitting window-local samples (phase 2, sample-exact by
+    construction). One instance per batch slot keeps its own code history
+    and emitted-sample count."""
+
+    _CTX = 24
+
+    def __init__(self, speech_tokenizer, codec_cfg, ref_codes: Optional[np.ndarray]):
+        from .engine.fused_stream import codec_deficit
+
+        self._st = speech_tokenizer
+        self._up = codec_cfg.total_upsample
+        self._deficit = codec_deficit(codec_cfg)
+        self._ref_codes = ref_codes
+        self._codes: List[np.ndarray] = []
+        self._prev_len = 0  # samples emitted, generated-audio coordinates
+
+    def vocode_new(self, frames: np.ndarray) -> np.ndarray:
+        """Vocode `frames` [n, 16] new codec frames -> new audio samples."""
+        self._codes.append(np.asarray(frames, np.int32))
+        all_flat = np.concatenate(self._codes, axis=0)
+        n_new = frames.shape[0]
+        n_total = all_flat.shape[0]
+        ctx, up, D = self._CTX, self._up, self._deficit
+        if n_total - n_new >= ctx:
+            window = all_flat[-(ctx + n_new):]
+            audio_list, _sr = self._st.decode({"audio_codes": window[None]})
+            audio = np.asarray(audio_list[0]).flatten()
+            new_audio = audio[ctx * up - D : (ctx + n_new) * up - D]
+            self._prev_len += len(new_audio)
+            return new_audio
+        codes_in = (
+            np.concatenate([self._ref_codes, all_flat], axis=0)
+            if self._ref_codes is not None
+            else all_flat
+        )
+        audio_list, _sr = self._st.decode({"audio_codes": codes_in[None]})
+        audio = np.asarray(audio_list[0]).flatten()
+        if self._ref_codes is not None:
+            cut = int(self._ref_codes.shape[0] / max(codes_in.shape[0], 1) * len(audio))
+            gen_audio = audio[cut:]
+        else:
+            gen_audio = audio
+        new_audio = gen_audio[self._prev_len:]
+        self._prev_len = len(gen_audio)
+        return new_audio
+
+
 class FasterQwen3TTS:
     """TPU-native Qwen3-TTS engine with the reference-compatible public API."""
 
@@ -110,12 +163,16 @@ class FasterQwen3TTS:
         tokenizer: PromptTokenizer,
         max_seq_len: int = 2048,
         dtype=jnp.bfloat16,
+        mesh=None,
     ):
         self.params = params
         self.config = config
         self.tokenizer = tokenizer
         self.max_seq_len = max_seq_len
         self.dtype = dtype
+        # Multi-chip (dp, tp) device mesh, or None for single-chip serving.
+        # Set via from_pretrained(dp=, tp=); weights are already sharded.
+        self.mesh = mesh
         self.sample_rate = config.codec.sample_rate
         self.prompt_builder = PromptBuilder(params, config)
         self._speech_tokenizer = SpeechTokenizerFacade(params, config)
@@ -141,6 +198,8 @@ class FasterQwen3TTS:
         cache_dir: Optional[Union[str, Path]] = None,
         local_files_only: bool = False,
         strict: bool = False,
+        dp: Optional[int] = None,
+        tp: Optional[int] = None,
         **kwargs,
     ) -> "FasterQwen3TTS":
         """Load (or random-init) a model bundle and build the engine.
@@ -153,6 +212,13 @@ class FasterQwen3TTS:
         quant: "BF16" (default) or "Q8_0"/"int8" — weight-only int8 for the
         talker+predictor matmuls (halves decode HBM traffic; the reference's
         GGML quant surface, cli.py:357).
+        dp / tp: multi-chip serving over a jax.sharding.Mesh (the TPU-native
+        extension; the reference serializes requests behind a mutex, SURVEY
+        §2.3). tp shards attention heads / MLP columns Megatron-style for
+        per-request latency (tp must divide num_key_value_heads); dp shards
+        the engine batch for multi-stream serving (use the batched streaming
+        API / server --batch mode to feed it). Requires dp*tp visible
+        devices.
         """
         if backend in ("native",):
             from .native_backend import NativeQwen3TTS
@@ -212,14 +278,42 @@ class FasterQwen3TTS:
         mode = quant_lib.resolve_quant_name(quant)
         if mode != "none":
             params = quant_lib.quantize_model_params(params, mode)
+
+        mesh = None
+        if dp is not None or tp is not None:
+            from .parallel import mesh as mesh_lib
+
+            dp_, tp_ = dp or 1, tp or 1
+            n = dp_ * tp_
+            if len(jax.devices()) < n:
+                raise ValueError(
+                    f"dp={dp_} x tp={tp_} needs {n} devices; only "
+                    f"{len(jax.devices())} visible"
+                )
+            kv = config.talker.num_key_value_heads
+            if kv % tp_ != 0 or config.predictor.num_key_value_heads % tp_ != 0:
+                raise ValueError(f"tp={tp_} must divide num_key_value_heads")
+            mesh = mesh_lib.make_mesh(n, dp=dp_, tp=tp_)
+
         if os.environ.get("FQ3T_FUSE_QKV", "0") == "1":
-            # Fused QKV / gate-up projections (single-chip layout; TP
-            # sharding needs the per-head splits, see quant.fuse_layer_weights)
-            params = quant_lib.fuse_layer_weights(params)
-        # ONE batched transfer for the whole bundle (per-array transfers
-        # dominate load time through tunneled device connections).
-        params = jax.device_put(params)
-        return cls(params, config, tok, max_seq_len=max_seq_len, dtype=dtype)
+            if mesh is not None:
+                logger.warning(
+                    "FQ3T_FUSE_QKV is a single-chip layout; ignored under a "
+                    "(dp, tp) mesh (TP shards the per-head projections)."
+                )
+            else:
+                # Fused QKV / gate-up projections (single-chip layout; TP
+                # sharding needs the per-head splits, quant.fuse_layer_weights)
+                params = quant_lib.fuse_layer_weights(params)
+        if mesh is not None:
+            from .parallel import mesh as mesh_lib
+
+            params = mesh_lib.shard_params(params, mesh)
+        else:
+            # ONE batched transfer for the whole bundle (per-array transfers
+            # dominate load time through tunneled device connections).
+            params = jax.device_put(params)
+        return cls(params, config, tok, max_seq_len=max_seq_len, dtype=dtype, mesh=mesh)
 
     # ---------------------------------------------------------------- warmup
 
@@ -270,8 +364,17 @@ class FasterQwen3TTS:
                 np.asarray(sess.decode_chunk_fused_async(first, 0))
                 logger.info("warmup: fused(%d, ctx=0) compiled (%.1fs)", first, time.perf_counter() - t0)
                 # ctx schedule the driver will hit: totals first, first+chunk,
-                # ... capped at the steady-state window
-                ctxs = sorted({min(first + k * chunk, max_ctx) for k in range(4)})
+                # ... capped at the steady-state window. Iterate until the cap
+                # is reached — a fixed k range misses max_ctx for small chunk
+                # sizes (ADVICE r2: chunk=4 would warm only ctx {4,8,12,16})
+                ctxs, k = [], 0
+                while True:
+                    ctx = min(first + k * chunk, max_ctx)
+                    if not ctxs or ctx != ctxs[-1]:
+                        ctxs.append(ctx)
+                    if ctx >= max_ctx:
+                        break
+                    k += 1
                 for ctx in ctxs:
                     sess.set_codec_history(np.zeros((max_ctx, ncg), np.int32), ctx)
                     flat = sess.decode_chunk_fused_async(chunk, ctx)
@@ -653,10 +756,19 @@ class FasterQwen3TTS:
         instruct: Optional[str] = None,
         voice_clone_prompt=None,
         seed: Optional[int] = None,
+        subtalker_dosample: Optional[bool] = None,
+        subtalker_top_k: Optional[int] = None,
+        subtalker_top_p: Optional[float] = None,
+        subtalker_temperature: Optional[float] = None,
     ) -> Generator[Tuple[np.ndarray, int, Dict[str, Any]], None, None]:
         """Streaming voice clone: yields (audio_chunk, sample_rate, timing).
         Mirrors reference model.py:952-1137 including the hybrid codec decode
-        (accumulate -> calibrate samples_per_frame -> 25-frame window)."""
+        (accumulate -> calibrate samples_per_frame -> 25-frame window).
+
+        subtalker_*: code-predictor sampling overrides. The reference freezes
+        these at graph capture (reference model.py:209-218); here they are
+        per-call static args of the jitted step, so the public API can expose
+        them (None keeps the reference defaults: sample, top_k 50, temp 0.9)."""
         nsm = self._resolve_non_streaming_mode(non_streaming_mode, default=False)
         tie, tam, tth, tpe, ref_codes = self._prepare_generation(
             text=text, language=language, ref_audio=ref_audio, ref_text=ref_text,
@@ -676,6 +788,8 @@ class FasterQwen3TTS:
                 min_new_tokens=min_new_tokens, temperature=temperature, top_k=top_k,
                 top_p=top_p, do_sample=do_sample, repetition_penalty=repetition_penalty,
                 chunk_size=chunk_size, seed=seed, first_chunk_size=first_chunk_size,
+                subtalker_dosample=subtalker_dosample, subtalker_top_k=subtalker_top_k,
+                subtalker_top_p=subtalker_top_p, subtalker_temperature=subtalker_temperature,
             )
             stream = ((f, None, t) for f, t in stream)
         else:
@@ -685,6 +799,8 @@ class FasterQwen3TTS:
                 min_new_tokens=min_new_tokens, temperature=temperature, top_k=top_k,
                 top_p=top_p, do_sample=do_sample, repetition_penalty=repetition_penalty,
                 chunk_size=chunk_size, seed=seed, first_chunk_size=first_chunk_size,
+                subtalker_dosample=subtalker_dosample, subtalker_top_k=subtalker_top_k,
+                subtalker_top_p=subtalker_top_p, subtalker_temperature=subtalker_temperature,
                 # The ctx=0 fused first chunk is the TTFA path (audio comes
                 # out of the same device program as the tokens, one fetch).
                 # ICL must keep the host path: the first vocode prepends the
@@ -692,6 +808,104 @@ class FasterQwen3TTS:
                 fuse_first_chunk=ref_codes is None,
             )
         yield from self._stream_decode(stream, chunk_size, ref_codes)
+
+    def generate_voice_clone_streaming_batch(
+        self,
+        requests: List[Dict[str, Any]],
+        chunk_size: int = 8,
+        max_new_tokens: int = 2048,
+        min_new_tokens: int = 2,
+        temperature: float = 0.9,
+        top_k: int = 50,
+        top_p: float = 1.0,
+        do_sample: bool = True,
+        repetition_penalty: float = 1.05,
+        seed: Optional[int] = None,
+        subtalker_dosample: Optional[bool] = None,
+        subtalker_top_k: Optional[int] = None,
+        subtalker_top_p: Optional[float] = None,
+        subtalker_temperature: Optional[float] = None,
+    ) -> Generator[Tuple[int, np.ndarray, int, Dict[str, Any]], None, None]:
+        """Batched multi-request streaming: B independent voice-clone streams
+        decoded in lockstep on ONE engine batch (sharded over the dp mesh
+        axis when the model was loaded with from_pretrained(dp=...)).
+
+        requests: list of dicts, each with the generate_voice_clone_streaming
+        prompt fields: text (required), language, ref_audio, ref_text,
+        xvec_only, voice_clone_prompt, instruct, append_silence,
+        non_streaming_mode. Sampling/chunk kwargs are shared by the batch
+        (they are compile-time constants of the shared executable).
+
+        Yields (slot_index, audio_chunk float32, sample_rate, timing) in
+        chunk order; a slot stops appearing once its stream hit EOS. This is
+        the serving mode the reference lacks (requests behind a mutex,
+        reference openai_server.py:71) — the TPU-native batched extension.
+        """
+        if not requests:
+            return
+        prepared = []
+        for r in requests:
+            nsm = self._resolve_non_streaming_mode(r.get("non_streaming_mode"), default=False)
+            prepared.append(
+                self._prepare_generation(
+                    text=r["text"],
+                    language=r.get("language", "English"),
+                    ref_audio=r.get("ref_audio"),
+                    ref_text=r.get("ref_text", ""),
+                    xvec_only=bool(r.get("xvec_only", False)),
+                    non_streaming_mode=nsm,
+                    append_silence=bool(r.get("append_silence", True)),
+                    voice_clone_prompt=r.get("voice_clone_prompt"),
+                    instruct=r.get("instruct"),
+                )
+            )
+        B = len(prepared)
+        H = self.config.talker.hidden_size
+        Pmax = max(p[0].shape[1] for p in prepared)
+        bucket = gen_lib.prefill_bucket(Pmax, self.max_seq_len)
+        tie = np.zeros((B, bucket, H), np.float32)
+        mask = np.zeros((B, bucket), np.int32)
+        Tmax = max(p[2].shape[1] for p in prepared)
+        tbucket = gen_lib.tth_bucket(Tmax)
+        tth = np.zeros((B, tbucket, H), np.float32)
+        tpe = np.asarray(prepared[0][3], np.float32)  # model-constant pad embed
+        ref_codes: List[Optional[np.ndarray]] = []
+        for s, (tie_s, tam_s, tth_s, tpe_s, rc) in enumerate(prepared):
+            P = tie_s.shape[1]
+            tie[s, bucket - P :] = np.asarray(tie_s[0], np.float32)
+            mask[s, bucket - P :] = np.asarray(tam_s[0], np.int32)
+            tth[s] = gen_lib._pad_trailing(
+                np.asarray(tth_s, np.float32), tpe_s, tbucket
+            )[0]
+            ref_codes.append(rc)
+
+        stream = gen_lib.fast_generate_streaming_batch(
+            self.params, self.config, tie, mask, tth, tpe,
+            max_seq_len=self.max_seq_len, max_new_tokens=max_new_tokens,
+            min_new_tokens=min_new_tokens, temperature=temperature, top_k=top_k,
+            top_p=top_p, do_sample=do_sample, repetition_penalty=repetition_penalty,
+            chunk_size=chunk_size, seed=seed, mesh=self.mesh,
+            subtalker_dosample=subtalker_dosample, subtalker_top_k=subtalker_top_k,
+            subtalker_top_p=subtalker_top_p, subtalker_temperature=subtalker_temperature,
+        )
+        vocoders = [_StreamVocoder(self._speech_tokenizer, self.config.codec, rc)
+                    for rc in ref_codes]
+        emitted_done = [False] * B
+        for frames, valid, done, timing in stream:
+            for s in range(B):
+                if emitted_done[s]:
+                    continue
+                fr = frames[valid[:, s], s]
+                if fr.shape[0]:
+                    audio = vocoders[s].vocode_new(fr)
+                    t = dict(timing)
+                    t["slot"] = s
+                    t["chunk_steps"] = int(fr.shape[0])
+                    t["total_steps_so_far"] = int(timing["total_steps_so_far"][s])
+                    t["is_final"] = bool(done[s]) or bool(timing["is_final"])
+                    yield s, audio, self.sample_rate, t
+                if done[s]:
+                    emitted_done[s] = True
 
     def _stream_decode(self, stream, chunk_size: int, ref_codes: Optional[np.ndarray]):
         """Streaming vocoder with three regimes (reference model.py:1046-1137):

@@ -19,7 +19,7 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention import decode_attention, prefill_attention
+from ..ops.attention import decode_attention, prefill_attention, prefill_mask
 
 
 class KVCache(NamedTuple):
@@ -92,13 +92,33 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
 
 @dataclasses.dataclass(frozen=True)
 class LayerShape:
-    """Static attention geometry for one decoder stack."""
+    """Static attention geometry for one decoder stack.
+
+    `layer_types` mirrors the upstream config's per-layer attention kinds
+    ("full_attention" | "sliding_attention"); when None and a sliding window
+    is set, every layer is sliding (HF default derivation). The reference
+    builds the sliding masks per layer type the same way
+    (/root/reference/faster_qwen3_tts/predictor_graph.py:58,96-105)."""
 
     num_heads: int
     num_kv_heads: int
     head_dim: int
     rms_eps: float
     sliding_window: Optional[int] = None
+    layer_types: Optional[Tuple[str, ...]] = None
+
+    def sliding_flags(self, num_layers: int) -> Tuple[bool, ...]:
+        """Per-layer 'uses the sliding-window mask' flags."""
+        if self.sliding_window is None:
+            return (False,) * num_layers
+        if self.layer_types is None:
+            return (True,) * num_layers
+        if len(self.layer_types) != num_layers:
+            raise ValueError(
+                f"layer_types has {len(self.layer_types)} entries for "
+                f"{num_layers} layers"
+            )
+        return tuple(t == "sliding_attention" for t in self.layer_types)
 
 
 def _qkv(lp, x, shape: LayerShape):
@@ -137,19 +157,19 @@ def layer_prefill(
     x: jax.Array,
     cos: jax.Array,
     sin: jax.Array,
-    pad_mask: jax.Array,
+    mask: jax.Array,
     shape: LayerShape,
 ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
     """One decoder layer over a full (padded) sequence.
 
-    x: [B, S, H]; pad_mask: [B, S] (1 = valid). Returns (y, (k, v)) with
-    k/v: [B, S, kv_heads, head_dim] for cache insertion.
+    x: [B, S, H]; mask: [B, S, S] bool (True = attendable). Returns
+    (y, (k, v)) with k/v: [B, S, kv_heads, head_dim] for cache insertion.
     """
     h = rms_norm(lp["ln1"], x, shape.rms_eps)
     q, k, v = _qkv(lp, h, shape)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
-    attn = prefill_attention(q, k, v, pad_mask, sliding_window=shape.sliding_window)
+    attn = prefill_attention(q, k, v, mask)
     B, S, _, _ = attn.shape
     attn = _dot(attn.reshape(B, S, -1), lp["wo"])
     x = x + attn
@@ -172,8 +192,9 @@ def layer_decode(
     """One decoder layer for a single-token decode step with static KV cache.
 
     x: [B, 1, H]; k_cache/v_cache: [B, S_max, kv, hd]; pos: [B] int32 write
-    position; length_mask: [B, S_max] (1 = attendable). Returns the layer
-    output and the UPDATED caches.
+    position; length_mask: [B, S_max] (1 = attendable; already restricted to
+    this layer's window for sliding layers). Returns the layer output and
+    the UPDATED caches.
     """
     h = rms_norm(lp["ln1"], x, shape.rms_eps)
     q, k, v = _qkv(lp, h, shape)
@@ -214,13 +235,29 @@ def stack_prefill(
     Returns (normed hidden states [B, S, H], KVCache with seq dim = S).
     """
     cos, sin = rope_cos_sin(positions, shape.head_dim, rope_theta)
+    num_layers = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
+    flags = shape.sliding_flags(num_layers)
 
-    def body(carry, lp):
-        h = carry
-        h, (k, v) = layer_prefill(lp, h, cos, sin, pad_mask, shape)
-        return h, (k, v)
+    full = prefill_mask(pad_mask)
+    if any(flags):
+        slide = prefill_mask(pad_mask, shape.sliding_window)
 
-    h, (ks, vs) = jax.lax.scan(body, x, stacked_params)
+        def body(carry, inputs):
+            lp, is_slide = inputs
+            mask = jnp.where(is_slide, slide, full)
+            h, (k, v) = layer_prefill(lp, carry, cos, sin, mask, shape)
+            return h, (k, v)
+
+        xs = (stacked_params, jnp.asarray(flags))
+    else:
+
+        def body(carry, lp):
+            h, (k, v) = layer_prefill(lp, carry, cos, sin, full, shape)
+            return h, (k, v)
+
+        xs = stacked_params
+
+    h, (ks, vs) = jax.lax.scan(body, x, xs)
     h = rms_norm(final_norm, h, shape.rms_eps)
     return h, KVCache(k=ks, v=vs)
 
@@ -241,8 +278,34 @@ def stack_decode(
 
     x: [B, 1, H]; pos: [B] cache write position; rope_pos: [B] rope position
     (pos + rope_delta, reference talker_graph.py:209-211); length_mask: [B, S_max].
+    Sliding layers additionally exclude cache slots at or below
+    `pos - sliding_window` (kv allowed iff `kv_idx > pos - window`, the HF
+    sliding-mask rule applied to the single-query decode case).
     """
     cos, sin = rope_cos_sin(rope_pos[:, None], shape.head_dim, rope_theta)
+    num_layers = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
+    flags = shape.sliding_flags(num_layers)
+
+    if any(flags):
+        s_ids = jnp.arange(length_mask.shape[-1])[None, :]
+        slide_mask = length_mask * (s_ids > (pos[:, None] - shape.sliding_window))
+
+        def body(carry, inputs):
+            lp, k_cache, v_cache, is_slide = inputs
+            mask = jnp.where(is_slide, slide_mask, length_mask)
+            h, (k_cache, v_cache) = layer_decode(
+                lp, carry, cos, sin, k_cache, v_cache, pos, mask, shape
+            )
+            return h, (k_cache, v_cache)
+
+        h, (ks, vs) = jax.lax.scan(
+            body,
+            x,
+            (stacked_params, cache.k, cache.v, jnp.asarray(flags)),
+            unroll=_decode_unroll(),
+        )
+        h = rms_norm(final_norm, h, shape.rms_eps)
+        return h, KVCache(k=ks, v=vs)
 
     def body(carry, inputs):
         h = carry

@@ -34,6 +34,7 @@ def layer_shape(cfg: PredictorConfig) -> LayerShape:
         head_dim=cfg.head_dim,
         rms_eps=cfg.rms_norm_eps,
         sliding_window=cfg.sliding_window,
+        layer_types=cfg.layer_types,
     )
 
 

@@ -30,6 +30,7 @@ def layer_shape(cfg: TalkerConfig) -> LayerShape:
         head_dim=cfg.head_dim,
         rms_eps=cfg.rms_norm_eps,
         sliding_window=cfg.sliding_window,
+        layer_types=cfg.layer_types,
     )
 
 

@@ -44,27 +44,38 @@ def _gqa_out(probs: jax.Array, v: jax.Array) -> jax.Array:
     return out.reshape(B, Sq, Hq, v.shape[3])
 
 
-def prefill_attention(
-    q: jax.Array,
-    k: jax.Array,
-    v: jax.Array,
-    pad_mask: jax.Array,
-    sliding_window: Optional[int] = None,
+def prefill_mask(
+    pad_mask: jax.Array, sliding_window: Optional[int] = None
 ) -> jax.Array:
-    """Causal self-attention over a left-padded sequence.
+    """Build the [B, S, S] boolean attention mask for a left-padded prompt.
 
-    q/k/v: [B, S, H(q|kv), D]; pad_mask: [B, S] with 1 = real token.
-    Returns [B, S, Hq, D] in q.dtype.
-    """
-    B, S = q.shape[0], q.shape[1]
-    scores = _gqa_scores(q, k)  # [B, Hq, S, S]
+    pad_mask: [B, S] with 1 = real token. Causal, pad-aware, optionally
+    sliding-window-limited (HF semantics: kv allowed iff
+    `kpos > qpos - sliding_window`, matching transformers masking_utils'
+    sliding_window_overlay; window distance is identical in index space and
+    real-token space because left pads shift q and k positions equally)."""
+    S = pad_mask.shape[1]
     qpos = jnp.arange(S)[:, None]
     kpos = jnp.arange(S)[None, :]
     allowed = kpos <= qpos
     if sliding_window is not None:
-        allowed &= kpos > (qpos - sliding_window)
-    mask = allowed[None, None, :, :] & (pad_mask[:, None, None, :] > 0)
-    scores = jnp.where(mask, scores, _NEG_INF)
+        allowed = allowed & (kpos > (qpos - sliding_window))
+    return allowed[None, :, :] & (pad_mask[:, None, :] > 0)
+
+
+def prefill_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: jax.Array,
+) -> jax.Array:
+    """Full-sequence self-attention under an explicit boolean mask.
+
+    q/k/v: [B, S, H(q|kv), D]; mask: [B, S, S] bool (True = attendable),
+    from `prefill_mask`. Returns [B, S, Hq, D] in q.dtype.
+    """
+    scores = _gqa_scores(q, k)  # [B, Hq, S, S]
+    scores = jnp.where(mask[:, None, :, :], scores, _NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
     out = _gqa_out(probs, v)
     return out.astype(q.dtype)

@@ -105,13 +105,40 @@ def state_specs(vocab_spec: P = P("dp", None)) -> Dict[str, Any]:
 
 def shard_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     """Place talker/predictor params on the mesh with TP shardings (codec and
-    other submodels replicated)."""
+    other submodels replicated).
+
+    Quantized weights: int8 QuantizedLinear shards exactly like its plain
+    counterpart — q takes the weight spec; the per-output-channel scale
+    [.., 1, out] shards only on the OUT axis (its dim -2 is size 1, so a
+    row-parallel axis there is dropped). Row-parallel int8 stays exact under
+    TP because GSPMD all-reduces the int8 partial dot BEFORE the replicated
+    per-output scale multiply (ops/quant.dot applies scale after the
+    contraction). Grouped-int4 QuantizedLinear4 is replicated (its
+    interleaved nibble packing does not shard cleanly; int4 is a footprint
+    option, not the TP serving mode)."""
+    from ..ops.quant import QuantizedLinear, QuantizedLinear4
+
     specs = {
         "talker": talker_param_specs(),
         "predictor": predictor_param_specs(),
     }
 
+    def norm_spec(s: P, rank: int) -> tuple:
+        t = tuple(s) + (None,) * (rank - len(tuple(s)))
+        return t[:rank]
+
     def place(tree, spec):
+        if isinstance(tree, QuantizedLinear):
+            qs = norm_spec(spec if isinstance(spec, P) else P(), tree.q.ndim)
+            ss = qs[:-2] + (None, qs[-1])
+            return QuantizedLinear(
+                q=jax.device_put(tree.q, NamedSharding(mesh, P(*qs))),
+                scale=jax.device_put(tree.scale, NamedSharding(mesh, P(*ss))),
+            )
+        if isinstance(tree, QuantizedLinear4):
+            return QuantizedLinear4(
+                *(jax.device_put(f, NamedSharding(mesh, P())) for f in tree)
+            )
         if isinstance(tree, dict):
             return {k: place(v, spec[k] if isinstance(spec, dict) else spec) for k, v in tree.items()}
         if isinstance(tree, (list, tuple)):

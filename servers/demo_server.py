@@ -69,13 +69,49 @@ WEB_TOKEN_HEADER = "x-fq3t-web-token"
 DAILY_FREE_REQUESTS = int(os.environ.get("DEMO_DAILY_FREE_REQUESTS", "10"))
 _gate_secret = os.environ.get("DEMO_WEB_GATE_SECRET")
 _usage_secret = os.environ.get("DEMO_USAGE_HASH_SECRET") or _gate_secret
+_USAGE_DB_PATH = os.environ.get("USAGE_DB_PATH", "/tmp/fq3t-demo-usage.sqlite3")
 _web_gate = WebGate(
     _gate_secret.encode() if _gate_secret else None,
     ttl_seconds=int(os.environ.get("DEMO_WEB_TOKEN_TTL_SECONDS", "7200")),
 )
+
+
+def _stable_usage_secret() -> bytes:
+    """Pseudonym HMAC key when no explicit secret is configured.
+
+    A per-process random key would re-pseudonymize every user on restart —
+    daily quotas silently reset and usage_users fills with unlinkable rows
+    (ADVICE r2). Persist a generated key next to the sqlite file instead so
+    pseudonyms are stable across restarts; explicit env secrets still win.
+    """
+    if _usage_secret:
+        return _usage_secret.encode()
+    path = _USAGE_DB_PATH + ".hmac-key"
+    try:
+        with open(path, "rb") as f:
+            key = f.read()
+        if key:
+            return key
+    except FileNotFoundError:
+        pass
+    key = _web_gate.secret
+    try:
+        import tempfile
+
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".")
+        with os.fdopen(fd, "wb") as f:
+            f.write(key)
+        os.replace(tmp, path)
+        os.chmod(path, 0o600)
+    except OSError:
+        logger.warning("could not persist usage HMAC key at %s; pseudonyms "
+                       "will rotate on restart", path)
+    return key
+
+
 _usage_db = UsageDB(
-    os.environ.get("USAGE_DB_PATH", "/tmp/fq3t-demo-usage.sqlite3"),
-    hash_secret=_usage_secret.encode() if _usage_secret else _web_gate.secret,
+    _USAGE_DB_PATH,
+    hash_secret=_stable_usage_secret(),
     daily_free_limit=DAILY_FREE_REQUESTS,
 )
 
@@ -231,7 +267,6 @@ async def generate_stream(request: web.Request) -> web.StreamResponse:
     global _waiters
     user = _require_user(request)
     _require_web_client(request)
-    usage = _consume_quota(user)
     payload = await request.json()
     text = payload.get("text", "")
     if not text:
@@ -241,6 +276,9 @@ async def generate_stream(request: web.Request) -> web.StreamResponse:
         raise web.HTTPBadRequest(
             text=json.dumps({"error": f"text too long (max {MAX_TEXT_CHARS} chars)"}),
             content_type="application/json")
+    # Consume quota only after the payload validates: a 400 must not burn a
+    # free-tier unit (ADVICE r2).
+    usage = _consume_quota(user)
 
     resp = web.StreamResponse(headers={
         "Content-Type": "text/event-stream",
@@ -327,7 +365,11 @@ async def load_model(request: web.Request) -> web.Response:
             None, _models.get, payload.get("model", "0.6b"), payload.get("quant", "BF16")
         )
         if payload.get("warmup"):
-            await loop.run_in_executor(None, model.warmup)
+            # Serving config (chunk 8 + 4-frame first chunk, _run_generation
+            # defaults): warm those executables, not the bare defaults.
+            await loop.run_in_executor(
+                None, lambda: model.warmup(chunk_sizes=(8,), first_chunk_size=4)
+            )
     return web.json_response({"loaded": _models.loaded()})
 
 

@@ -184,7 +184,11 @@ def main():
     _model = FasterQwen3TTS.from_pretrained(args.model, backend=args.backend, quant=args.quant)
     load_voices(args.voices)
     if args.warmup:
-        _model.warmup()
+        # Warm the exact serving config (default chunk 8, 4-frame fused first
+        # chunk, line 71/96): a bare warmup() would leave fused(4, ctx=0) and
+        # the ctx ladder {12,20,...} to cold-compile inside the first request
+        # (ADVICE r2 medium).
+        _model.warmup(chunk_sizes=(8,), first_chunk_size=4)
     web.run_app(make_app(), host=args.host, port=args.port)
 
 

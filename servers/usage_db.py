@@ -142,6 +142,7 @@ class UsageDB:
                     """,
                     (self.hash_user(str(user_sub)), day, int(is_pro), int(count), int(updated_at)),
                 )
+            con.execute(f"DROP TABLE {legacy}")
         elif expected.issubset(legacy_cols):
             rows = con.execute(
                 f"SELECT user_key, day, is_pro, count, updated_at FROM {legacy}"
@@ -151,7 +152,16 @@ class UsageDB:
                 " VALUES (?, ?, ?, ?, ?)",
                 rows,
             )
-        con.execute(f"DROP TABLE {legacy}")
+            con.execute(f"DROP TABLE {legacy}")
+        else:
+            # Unknown legacy layout: keep the renamed table so no usage data
+            # is silently discarded (ADVICE r2); operators can migrate by hand.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "usage_daily had unrecognized columns %s; preserved as %s",
+                sorted(legacy_cols), legacy,
+            )
 
     @staticmethod
     def _record_user(con, user_key: str, username: str, is_pro: bool, now: int) -> None:

@@ -78,6 +78,66 @@ def test_streaming_chunks_match_protocol(setup):
     assert all(t["prefill_ms"] == 0.0 for t in timings[1:])
 
 
+@pytest.fixture(scope="module")
+def sliding_setup(tiny_config):
+    """Tiny config with MIXED layer_types + a small sliding window on both
+    the talker and the predictor (the upstream config declares these fields;
+    reference predictor_graph.py:58,96-105 builds per-type masks)."""
+    import dataclasses
+
+    talker = dataclasses.replace(
+        tiny_config.talker, sliding_window=4,
+        layer_types=("full_attention", "sliding_attention"),
+    )
+    pred = dataclasses.replace(
+        tiny_config.predictor, sliding_window=3,
+        layer_types=("sliding_attention", "full_attention"),
+    )
+    cfg = dataclasses.replace(tiny_config, talker=talker, predictor=pred)
+    params = weights_lib.init_all(cfg, seed=5, dtype=jnp.float32)
+    H = cfg.talker.hidden_size
+    rng = np.random.default_rng(11)
+    tie = (rng.standard_normal((1, 20, H)) * 0.05).astype(np.float32)
+    mask = np.ones((1, 20), np.int32)
+    tth = (rng.standard_normal((1, 6, H)) * 0.05).astype(np.float32)
+    tpe = (rng.standard_normal((1, 1, H)) * 0.05).astype(np.float32)
+    return params, cfg, tie, mask, tth, tpe
+
+
+def test_sliding_layer_types_greedy_tokens_match(sliding_setup):
+    """Mixed full/sliding layers: fused engine == independent parity path,
+    token for token, prefill AND decode (VERDICT r2 missing #2)."""
+    eng = _run_engine(sliding_setup, do_sample=False, subtalker_dosample=False)
+    par = _run_parity(sliding_setup, do_sample=False, subtalker_dosample=False)
+    assert eng is not None and par is not None
+    np.testing.assert_array_equal(eng, par)
+
+
+def test_sliding_window_changes_decode_stream(sliding_setup, setup):
+    """The sliding mask must actually bite: same weights with window vs
+    without produce different streams (guards against a mask that is
+    silently full attention everywhere)."""
+    import dataclasses
+
+    params, cfg, tie, mask, tth, tpe = sliding_setup
+    full_cfg = dataclasses.replace(
+        cfg,
+        talker=dataclasses.replace(cfg.talker, sliding_window=None, layer_types=None),
+        predictor=dataclasses.replace(cfg.predictor, sliding_window=None, layer_types=None),
+    )
+    slid, _ = gen_lib.fast_generate(
+        params, cfg, tie, mask, tth, tpe,
+        max_seq_len=64, max_new_tokens=16, seed=3, device_chunk=8,
+        do_sample=False, subtalker_dosample=False,
+    )
+    full, _ = gen_lib.fast_generate(
+        params, full_cfg, tie, mask, tth, tpe,
+        max_seq_len=64, max_new_tokens=16, seed=3, device_chunk=8,
+        do_sample=False, subtalker_dosample=False,
+    )
+    assert slid.shape != full.shape or not np.array_equal(slid, full)
+
+
 def test_bug_injection_is_detected(setup, monkeypatch):
     """Perturb the fused engine's rope position by one and require the parity
     comparison to FAIL — proving the two paths are independent computations,
