@@ -66,11 +66,29 @@ class HFTokenizer:
         self.IM_START = tid("<|im_start|>", 151644)
         self.IM_END = tid("<|im_end|>", 151645)
         nl = tok.encode("\n", add_special_tokens=False)
-        self.NL = nl[0] if nl else 198
-        role = tok.encode("assistant", add_special_tokens=False)
-        self.ROLE_ASSISTANT = role[0] if role else 77091
-        user = tok.encode("user", add_special_tokens=False)
-        self.ROLE_USER = user[0] if user else 872
+        if len(nl) != 1:
+            raise ValueError(
+                f"tokenizer encodes '\\n' to {len(nl)} ids ({nl}); the ChatML "
+                "role framing the prompt assembly slices (3-id headers, "
+                "reference model.py:686-766) requires single-token newlines"
+            )
+        self.NL = nl[0]
+        # Role names MUST be single tokens: the prompt assembly hardcodes
+        # 3-id headers ('<|im_start|>' + role + '\n'). A multi-token role
+        # would silently shift every slice, so fail loudly instead of
+        # truncating to role[0].
+        self.ROLE_ASSISTANT = self._single_role_id("assistant")
+        self.ROLE_USER = self._single_role_id("user")
+
+    def _single_role_id(self, role: str) -> int:
+        ids = self.tok.encode(role, add_special_tokens=False)
+        if len(ids) != 1:
+            raise ValueError(
+                f"tokenizer encodes role {role!r} to {len(ids)} ids ({ids}); "
+                "the 3-id ChatML header contract requires single-token role "
+                "names (upstream Qwen tokenizers satisfy this)"
+            )
+        return ids[0]
 
     def encode(self, text: str) -> List[int]:
         return self.tok.encode(text, add_special_tokens=False)
