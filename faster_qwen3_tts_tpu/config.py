@@ -181,18 +181,28 @@ class CodecConfig:
 
 @dataclasses.dataclass(frozen=True)
 class SpeakerEncoderConfig:
-    """Reference-audio -> 2048-d x-vector speaker embedding.
+    """Reference-audio -> 2048-d x-vector speaker embedding (ECAPA-TDNN).
 
     The reference consumes this via `create_voice_clone_prompt(...)` whose
     prompt items carry a 2048-d bf16 `ref_spk_embedding`
-    (reference README.md:500, model.py:429-451).
+    (reference README.md:500, model.py:429-451). The architecture is the
+    public ECAPA-TDNN speaker-verification recipe (Desplanques et al. 2020):
+    TDNN stem, 3 SE-Res2Net blocks (dilations 2/3/4), multi-layer feature
+    aggregation, channel-wise attentive statistics pooling. The 2048-d
+    embedding the upstream prompt carries is exactly the mean||std stats
+    width of a 1024-channel pooling layer; here mfa_dim/2 + a linear keeps
+    the width configurable.
     """
 
     mel_bins: int = 80
     sample_rate: int = 16000
     channels: int = 512
     embedding_dim: int = 2048
-    num_blocks: int = 3
+    num_blocks: int = 3           # SE-Res2Net blocks; dilations 2,3,4,...
+    res2net_scale: int = 8
+    se_channels: int = 128
+    attention_channels: int = 128
+    mfa_dim: int = 1536
 
 
 @dataclasses.dataclass(frozen=True)

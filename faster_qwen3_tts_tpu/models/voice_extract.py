@@ -1,19 +1,31 @@
-"""Reference-audio analysis: x-vector speaker encoder + RVQ codec encoder.
+"""Reference-audio analysis: ECAPA-TDNN speaker encoder + codec encoder.
 
 Plays the role of the upstream voice-reference pipeline the reference calls
 through `create_voice_clone_prompt` (reference model.py:429-451): raw audio ->
 (a) a 2048-d speaker embedding (x-vector) and (b) [T,16] RVQ codec tokens for
 ICL prompting. The reference never implements these (they live in upstream
-`qwen_tts`); this framework owns them:
+`qwen_tts`); this framework owns them, using the PUBLIC architectures of each
+family (torch-parity-tested in tests/test_encoder_torch_parity.py):
 
 - Mel frontend: host-side numpy STFT (runs once per voice; results cached by
   the model layer, reference model.py:424-427).
-- Speaker encoder: conv stack + attentive statistics pooling -> 2048-d
-  embedding, jitted with bucketed mel lengths.
-- Codec encoder: mirror of the Code2Wav decoder (strided causal convs
-  downsampling 1920x -> sliding-window transformer) followed by residual
-  vector quantization against the decoder's own 16 codebooks, so
-  encode -> decode round-trips through the same embedding space.
+- Speaker encoder: **ECAPA-TDNN** (Desplanques et al., Interspeech 2020) —
+  the standard speaker-verification x-vector architecture: Conv1d/TDNN stem,
+  SE-Res2Net blocks at dilations 2/3/4, multi-layer feature aggregation,
+  channel-wise attentive statistics pooling (masked), BatchNorm + linear to
+  the 2048-d embedding the upstream prompt items carry (reference
+  README.md:500).
+- Codec encoder: the structural **mirror of the Code2Wav decoder** that is
+  numerically validated against torch in tests/test_hf_import.py — SEANet-
+  style strided causal conv blocks with snake-beta residual units reversing
+  the decoder's upsample geometry (1920x downsample), ConvNeXt downsample
+  stages reversing the decoder's upsample stages, the same sliding-window
+  pre-transformer, then residual vector quantization against the decoder's
+  own 16 codebooks so encode -> decode round-trips through one embedding
+  space.
+
+TPU notes: channels-last [B, T, C] throughout, static shapes under jit with
+host-side length bucketing, f32 accumulation on every conv/matmul.
 """
 from __future__ import annotations
 
@@ -27,6 +39,14 @@ import numpy as np
 
 from ..config import CodecConfig, Qwen3TTSConfig, SpeakerEncoderConfig
 from ..utils import audio as audio_lib
+from .codec import (
+    causal_conv1d,
+    convnext_block,
+    pre_transformer,
+    residual_unit,
+    snake_beta,
+    _RES_DILATIONS,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -75,112 +95,249 @@ def mel_spectrogram(
 
 
 # ---------------------------------------------------------------------------
-# Speaker encoder (x-vector)
+# Speaker encoder: ECAPA-TDNN
 # ---------------------------------------------------------------------------
 
 
-def init_speaker_params(seed: int, cfg: SpeakerEncoderConfig, dtype=jnp.float32) -> Dict:
-    rng = np.random.default_rng(seed)
+def _tdnn_init(rng, cin, cout, k, np_dtype=np.float32):
+    w = rng.standard_normal((k, cin, cout), dtype=np.float32) / math.sqrt(cin * k)
+    return {
+        "w": np.asarray(w, np_dtype),
+        "b": np.zeros(cout, np_dtype),
+        "bn_g": np.ones(cout, np_dtype),
+        "bn_b": np.zeros(cout, np_dtype),
+        "bn_m": np.zeros(cout, np_dtype),
+        "bn_v": np.ones(cout, np_dtype),
+    }
 
-    def conv(cin, cout, k):
-        w = rng.standard_normal((k, cin, cout), dtype=np.float32) / math.sqrt(cin * k)
-        return jnp.asarray(w, dtype), jnp.asarray(np.zeros(cout, np.float32), dtype)
+
+def init_speaker_params(seed: int, cfg: SpeakerEncoderConfig, dtype=jnp.float32) -> Dict:
+    """ECAPA-TDNN parameter tree (see module docstring)."""
+    rng = np.random.default_rng(seed)
+    C, S = cfg.channels, cfg.res2net_scale
+    assert C % S == 0, "channels must divide res2net_scale"
+    W = C // S
 
     def lin(cin, cout):
         w = rng.standard_normal((cin, cout), dtype=np.float32) / math.sqrt(cin)
-        return jnp.asarray(w, dtype), jnp.asarray(np.zeros(cout, np.float32), dtype)
+        return np.asarray(w, np.float32), np.zeros(cout, np.float32)
 
-    C = cfg.channels
-    params = {"in": conv(cfg.mel_bins, C, 5)}
+    params: Dict = {"in": _tdnn_init(rng, cfg.mel_bins, C, 5)}
     for i in range(cfg.num_blocks):
-        params[f"block{i}_a"] = conv(C, C, 3)
-        params[f"block{i}_b"] = conv(C, C, 3)
-    params["attn"] = lin(C, 1)
-    params["out"] = lin(2 * C, cfg.embedding_dim)
+        params[f"block{i}"] = {
+            "tdnn1": _tdnn_init(rng, C, C, 1),
+            "res2": [_tdnn_init(rng, W, W, 3) for _ in range(S - 1)],
+            "tdnn2": _tdnn_init(rng, C, C, 1),
+            "se1": lin(C, cfg.se_channels),
+            "se2": lin(cfg.se_channels, C),
+        }
+    params["mfa"] = _tdnn_init(rng, cfg.num_blocks * C, cfg.mfa_dim, 1)
+    params["att_tdnn"] = _tdnn_init(rng, 3 * cfg.mfa_dim, cfg.attention_channels, 1)
+    params["att_proj"] = lin(cfg.attention_channels, cfg.mfa_dim)
+    params["stats_bn"] = {
+        "bn_g": np.ones(2 * cfg.mfa_dim, np.float32),
+        "bn_b": np.zeros(2 * cfg.mfa_dim, np.float32),
+        "bn_m": np.zeros(2 * cfg.mfa_dim, np.float32),
+        "bn_v": np.ones(2 * cfg.mfa_dim, np.float32),
+    }
+    params["out"] = lin(2 * cfg.mfa_dim, cfg.embedding_dim)
+    return params
+
+
+_BN_EPS = 1e-5
+
+
+def _bn(p, x, prefix="bn"):
+    """Inference-mode BatchNorm1d over the channel (last) axis."""
+    g, b = p[f"{prefix}_g"], p[f"{prefix}_b"]
+    m, v = p[f"{prefix}_m"], p[f"{prefix}_v"]
+    xf = x.astype(jnp.float32)
+    y = (xf - m) * jax.lax.rsqrt(v.astype(jnp.float32) + _BN_EPS) * g + b
+    return y.astype(x.dtype)
+
+
+def _tdnn(p, x, dilation=1, activation=True):
+    """TDNN block: same-padded dilated Conv1d -> ReLU -> BatchNorm.
+    x: [B, T, Cin] -> [B, T, Cout]."""
+    w = p["w"]
+    k = w.shape[0]
+    pad = (k - 1) * dilation // 2
+    y = jax.lax.conv_general_dilated(
+        x, w, (1,), [(pad, pad)], rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"), preferred_element_type=jnp.float32,
+    )
+    y = (y + p["b"]).astype(x.dtype)
+    if activation:
+        y = jax.nn.relu(y)
+    return _bn(p, y)
+
+
+def _se_res2_block(p, x, dilation, scale, mask):
+    """SE-Res2Net block: tdnn1 -> Res2 dilated convs -> tdnn2 -> SE -> +x."""
+    h = _tdnn(p["tdnn1"], x)
+    # Res2Net: hierarchical splits; y_0 = x_0, y_i = conv_i(x_i + y_{i-1})
+    parts = jnp.split(h, scale, axis=-1)
+    outs = [parts[0]]
+    y = parts[0]
+    for i in range(1, scale):
+        y = _tdnn(p["res2"][i - 1], parts[i] + y, dilation=dilation)
+        outs.append(y)
+    h = jnp.concatenate(outs, axis=-1)
+    h = _tdnn(p["tdnn2"], h)
+    # Squeeze-excitation with masked time mean
+    denom = jnp.maximum(jnp.sum(mask, axis=1, keepdims=True), 1.0)  # [B,1]
+    s = jnp.sum(h * mask[..., None], axis=1) / denom  # [B, C]
+    w1, b1 = p["se1"]
+    w2, b2 = p["se2"]
+    s = jax.nn.relu(jnp.dot(s, w1, preferred_element_type=jnp.float32) + b1)
+    s = jax.nn.sigmoid(jnp.dot(s.astype(h.dtype), w2, preferred_element_type=jnp.float32) + b2)
+    return x + h * s[:, None, :].astype(h.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def speaker_forward(params, cfg: SpeakerEncoderConfig, mel: jax.Array, mask: jax.Array) -> jax.Array:
+    """mel [B, T, n_mels], mask [B, T] (1=valid) -> x-vector [B, embedding_dim].
+
+    The full ECAPA-TDNN forward, inference mode. Padded frames are excluded
+    from every statistic (SE means, attention softmax, pooled mean/std), so
+    bucket padding cannot change the embedding."""
+    h1 = _tdnn(params["in"], mel, dilation=1)
+    feats = []
+    h = h1
+    for i in range(cfg.num_blocks):
+        h = _se_res2_block(params[f"block{i}"], h, i + 2, cfg.res2net_scale, mask)
+        feats.append(h)
+    h = _tdnn(params["mfa"], jnp.concatenate(feats, axis=-1))  # [B, T, mfa]
+
+    # Channel-wise attentive statistics pooling with global context.
+    denom = jnp.maximum(jnp.sum(mask, axis=1, keepdims=True), 1.0)  # [B,1]
+    m = mask[..., None]
+    mean_g = jnp.sum(h * m, axis=1) / denom  # [B, mfa]
+    var_g = jnp.sum(jnp.square(h - mean_g[:, None, :]) * m, axis=1) / denom
+    std_g = jnp.sqrt(jnp.maximum(var_g, 1e-4))
+    T = h.shape[1]
+    ctx = jnp.concatenate(
+        [h, jnp.broadcast_to(mean_g[:, None, :], h.shape),
+         jnp.broadcast_to(std_g[:, None, :], h.shape)], axis=-1
+    )  # [B, T, 3*mfa]
+    a = jnp.tanh(_tdnn(params["att_tdnn"], ctx))
+    aw, ab = params["att_proj"]
+    e = jnp.dot(a, aw, preferred_element_type=jnp.float32) + ab  # [B, T, mfa]
+    e = jnp.where(m > 0, e, -1e30)
+    alpha = jax.nn.softmax(e, axis=1)  # masked softmax over time, per channel
+    mean = jnp.sum(alpha * h.astype(jnp.float32), axis=1)
+    var = jnp.sum(alpha * jnp.square(h.astype(jnp.float32) - mean[:, None, :]), axis=1)
+    stats = jnp.concatenate([mean, jnp.sqrt(jnp.maximum(var, 1e-4))], axis=-1)
+    stats = _bn(params["stats_bn"], stats)
+    ow, ob = params["out"]
+    emb = jnp.dot(stats, ow, preferred_element_type=jnp.float32) + ob
+    return emb / jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-8)
+
+
+# Backwards-compat alias (older tests/benches referenced the private name).
+_speaker_forward = speaker_forward
+
+
+# ---------------------------------------------------------------------------
+# Codec encoder: mirror of the Code2Wav decoder (audio -> latents)
+# ---------------------------------------------------------------------------
+
+
+def encoder_dims(cfg: CodecConfig) -> Tuple[int, ...]:
+    """Channel plan: the decoder halves decoder_dim per upsample block
+    (codec.init_params); the encoder mirror doubles from the decoder's
+    narrowest width back up to decoder_dim."""
+    n = len(cfg.upsample_rates)
+    base = cfg.decoder_dim // (2 ** n)
+    return tuple(base * (2 ** i) for i in range(n + 1))
+
+
+def init_encoder_params(seed: int, cfg: CodecConfig, dtype=jnp.float32) -> Dict:
+    """SEANet-style mirror of the Code2Wav decoder (see module docstring)."""
+    from .codec import init_params as _codec_init
+
+    rng = np.random.default_rng(seed)
+
+    def conv(cin, cout, k, groups=1):
+        w = rng.standard_normal((k, cin // groups, cout), dtype=np.float32)
+        w = w * (0.5 / math.sqrt(max(cin // groups * k, 1)))
+        return np.asarray(w, np.float32), np.zeros(cout, np.float32)
+
+    def lin(cin, cout):
+        w = rng.standard_normal((cin, cout), dtype=np.float32) * cin**-0.5
+        return np.asarray(w, np.float32), np.zeros(cout, np.float32)
+
+    def res_unit(dim):
+        c1_w, c1_b = conv(dim, dim, 7)
+        c2_w, c2_b = conv(dim, dim, 1)
+        return {
+            "a1": np.zeros(dim, np.float32), "b1": np.zeros(dim, np.float32),
+            "c1_w": c1_w, "c1_b": c1_b,
+            "a2": np.zeros(dim, np.float32), "b2": np.zeros(dim, np.float32),
+            "c2_w": c2_w, "c2_b": c2_b,
+        }
+
+    def convnext(dim):
+        dw_w, dw_b = conv(dim, dim, 7, groups=dim)
+        pw1_w, pw1_b = lin(dim, 4 * dim)
+        pw2_w, pw2_b = lin(4 * dim, dim)
+        return {
+            "dw_w": dw_w, "dw_b": dw_b,
+            "ln_w": np.ones(dim, np.float32), "ln_b": np.zeros(dim, np.float32),
+            "pw1_w": pw1_w, "pw1_b": pw1_b, "pw2_w": pw2_w, "pw2_b": pw2_b,
+            "gamma": np.full((dim,), 1e-6, np.float32),
+        }
+
+    dims = encoder_dims(cfg)
+    C = cfg.hidden_size
+    params: Dict = {}
+    params["enc_in_w"], params["enc_in_b"] = conv(1, dims[0], 7)
+    blocks = []
+    # Block i: residual units at dims[i], snake, strided conv to dims[i+1];
+    # stride reverses the decoder's upsample_rates.
+    for i, rate in enumerate(reversed(cfg.upsample_rates)):
+        blocks.append({
+            "units": [res_unit(dims[i]) for _ in _RES_DILATIONS],
+            "a": np.zeros(dims[i], np.float32), "b": np.zeros(dims[i], np.float32),
+            "down_w": conv(dims[i], dims[i + 1], 2 * rate)[0],
+            "down_b": np.zeros(dims[i + 1], np.float32),
+        })
+    params["blocks"] = blocks
+    params["enc_mid_w"], params["enc_mid_b"] = conv(dims[-1], C, 7)
+    downsample = []
+    for factor in reversed(cfg.upsampling_ratios):
+        downsample.append({
+            "convnext": convnext(C),
+            "down_w": conv(C, C, 2 * factor)[0],
+            "down_b": np.zeros(C, np.float32),
+        })
+    params["downsample"] = downsample
+    # Sliding-window pre-quantizer transformer: same architecture as the
+    # decoder's pre_transformer (codec.pre_transformer), separate weights.
+    full = _codec_init(seed + 1, cfg, dtype=dtype, rng=rng)
+    params["pre_transformer"] = full["pre_transformer"]
     return params
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def _speaker_forward(params, cfg: SpeakerEncoderConfig, mel: jax.Array, mask: jax.Array) -> jax.Array:
-    """mel [1, T, n_mels], mask [1, T] -> x-vector [1, embedding_dim].
+def encode_latents(params, cfg: CodecConfig, audio: jax.Array) -> jax.Array:
+    """audio [B, n, 1] -> latents [B, T, hidden] at the codec frame rate.
 
-    Conv blocks with residuals, then attentive statistics pooling
-    (mean + std under learned attention weights) and a linear projection —
-    the standard x-vector recipe."""
-
-    def conv(p, x, dil=1):
-        w, b = p
-        pad = (w.shape[0] - 1) * dil // 2
-        y = jax.lax.conv_general_dilated(
-            x, w, (1,), [(pad, pad)], rhs_dilation=(dil,),
-            dimension_numbers=("NWC", "WIO", "NWC"), preferred_element_type=jnp.float32,
-        )
-        return (y + b).astype(x.dtype)
-
-    h = jax.nn.relu(conv(params["in"], mel))
-    for i in range(cfg.num_blocks):
-        r = jax.nn.relu(conv(params[f"block{i}_a"], h, dil=2**i))
-        r = conv(params[f"block{i}_b"], r, dil=1)
-        h = jax.nn.relu(h + r)
-    # attentive stats pooling
-    aw, ab = params["attn"]
-    scores = (jnp.dot(h, aw) + ab)[..., 0]  # [1, T]
-    scores = jnp.where(mask > 0, scores, -1e30)
-    alpha = jax.nn.softmax(scores, axis=-1)[..., None]  # [1, T, 1]
-    mean = jnp.sum(alpha * h, axis=1)
-    var = jnp.sum(alpha * jnp.square(h - mean[:, None, :]), axis=1)
-    stats = jnp.concatenate([mean, jnp.sqrt(jnp.maximum(var, 1e-8))], axis=-1)
-    ow, ob = params["out"]
-    emb = jnp.dot(stats, ow) + ob
-    return emb / jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-8)
-
-
-# ---------------------------------------------------------------------------
-# Codec encoder (audio -> RVQ codes)
-# ---------------------------------------------------------------------------
-
-
-def init_encoder_params(seed: int, cfg: CodecConfig, dtype=jnp.float32) -> Dict:
-    """Strided conv downsampler mirroring the decoder's upsample geometry."""
-    rng = np.random.default_rng(seed)
-
-    def conv(cin, cout, k):
-        w = rng.standard_normal((k, cin, cout), dtype=np.float32) / math.sqrt(cin * k)
-        return jnp.asarray(w, dtype), jnp.asarray(np.zeros(cout, np.float32), dtype)
-
-    dims = [32, 64, 128, 256]
-    params = {"in": conv(1, dims[0], 7)}
-    # strides reverse the decoder upsample_rates then upsampling_ratios
-    strides = list(reversed(cfg.upsample_rates)) + list(reversed(cfg.upsampling_ratios))
-    chans = dims + [cfg.hidden_size, cfg.hidden_size]
-    cin = dims[0]
-    for i, s in enumerate(strides):
-        cout = chans[min(i + 1, len(chans) - 1)]
-        params[f"down{i}"] = conv(cin, cout, 2 * s)
-        cin = cout
-    params["proj"] = conv(cin, cfg.hidden_size, 3)
-    params["_strides"] = tuple(strides)  # structural; removed before jit use
-    return params
-
-
-@functools.partial(jax.jit, static_argnames=("strides",))
-def _encode_latents(params, strides: Tuple[int, ...], audio: jax.Array) -> jax.Array:
-    """audio [1, n, 1] -> latents [1, T, hidden] at the codec frame rate."""
-
-    def conv(p, x, stride):
-        w, b = p
-        k = w.shape[0]
-        x = jnp.pad(x, ((0, 0), (k - stride, 0), (0, 0)))
-        y = jax.lax.conv_general_dilated(
-            x, w, (stride,), "VALID", dimension_numbers=("NWC", "WIO", "NWC"),
-            preferred_element_type=jnp.float32,
-        )
-        return (y + b).astype(x.dtype)
-
-    h = jax.nn.gelu(conv(params["in"], audio, 1))
-    for i, s in enumerate(strides):
-        h = jax.nn.gelu(conv(params[f"down{i}"], h, s))
-    return conv(params["proj"], h, 1)
+    Mirror of codec.decode_frames run in reverse order: conv stem ->
+    4 strided encoder blocks (reversed upsample_rates) -> mid conv ->
+    ConvNeXt downsample stages (reversed upsampling_ratios) -> sliding-window
+    transformer."""
+    h = causal_conv1d(audio, params["enc_in_w"], params["enc_in_b"])
+    for blk, rate in zip(params["blocks"], reversed(cfg.upsample_rates)):
+        for unit, dilation in zip(blk["units"], _RES_DILATIONS):
+            h = residual_unit(unit, h, dilation)
+        h = snake_beta(h, blk["a"], blk["b"])
+        h = causal_conv1d(h, blk["down_w"], blk["down_b"], stride=rate)
+    h = causal_conv1d(h, params["enc_mid_w"], params["enc_mid_b"])
+    for stage, factor in zip(params["downsample"], reversed(cfg.upsampling_ratios)):
+        h = convnext_block(stage["convnext"], h)
+        h = causal_conv1d(h, stage["down_w"], stage["down_b"], stride=factor)
+    return pre_transformer(params["pre_transformer"], h, cfg)
 
 
 @functools.partial(jax.jit, static_argnames=("num_quantizers", "codebook_size"))
@@ -239,7 +396,7 @@ class VoiceExtractor:
         padded[0, :T] = mel
         mask = np.zeros((1, bucket), np.float32)
         mask[0, :T] = 1.0
-        emb = _speaker_forward(
+        emb = speaker_forward(
             self.params["speaker_encoder"], self.cfg.speaker_encoder,
             jnp.asarray(padded), jnp.asarray(mask),
         )
@@ -258,10 +415,9 @@ class VoiceExtractor:
         while bucket < n_frames:
             bucket *= 2
         wav = np.pad(wav, (0, bucket * up - need))
-        enc = self.params["codec_encoder"]
-        strides = enc["_strides"]
-        enc_arrays = {k: v for k, v in enc.items() if k != "_strides"}
-        latents = _encode_latents(enc_arrays, strides, jnp.asarray(wav.reshape(1, -1, 1)))
+        latents = encode_latents(
+            self.params["codec_encoder"], ccfg, jnp.asarray(wav.reshape(1, -1, 1))
+        )
         codes = _rvq_encode(
             self.params["codec"]["code_embed"], latents, ccfg.num_quantizers, ccfg.codebook_size
         )

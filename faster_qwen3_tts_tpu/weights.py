@@ -531,29 +531,104 @@ def _import_codec(imp: _Importer, c: Dict, cfg: Qwen3TTSConfig):
     imp.put(c, "dec_out_b", f"{d}decoder.{nb + 2}.conv.bias")
 
 
+def _put_tdnn(imp: _Importer, dst: Dict, base: str):
+    """One ECAPA TDNNBlock: Conv1d + BatchNorm1d (6 tensors)."""
+    imp.put(dst, "w", f"{base}.conv.weight", "conv")
+    imp.put(dst, "b", f"{base}.conv.bias")
+    imp.put(dst, "bn_g", f"{base}.norm.weight")
+    imp.put(dst, "bn_b", f"{base}.norm.bias")
+    imp.put(dst, "bn_m", f"{base}.norm.running_mean")
+    imp.put(dst, "bn_v", f"{base}.norm.running_var")
+
+
 def _import_speaker_encoder(imp: _Importer, s: Dict, cfg: Qwen3TTSConfig):
-    """X-vector speaker encoder (upstream produces the 2048-d
-    ref_spk_embedding, reference README.md:500). The in-tree layout below is
-    this framework's declared export format; `_find_prefix` also accepts any
-    root that carries the same member names."""
-    root = _find_prefix(imp.raw, "input_conv.weight", hint="speaker") or "speaker_encoder."
-    imp.put_pair(s, "in", (f"{root}input_conv.weight", f"{root}input_conv.bias"))
-    for i in range(cfg.speaker_encoder.num_blocks):
-        imp.put_pair(s, f"block{i}_a", (f"{root}blocks.{i}.conv1.weight", f"{root}blocks.{i}.conv1.bias"))
-        imp.put_pair(s, f"block{i}_b", (f"{root}blocks.{i}.conv2.weight", f"{root}blocks.{i}.conv2.bias"))
-    imp.put_pair(s, "attn", (f"{root}attention.weight", f"{root}attention.bias"))
-    imp.put_pair(s, "out", (f"{root}embedding_proj.weight", f"{root}embedding_proj.bias"))
+    """ECAPA-TDNN speaker encoder (the public x-vector architecture; upstream
+    produces the 2048-d ref_spk_embedding, reference README.md:500).
+    Member names follow the standard ECAPA module layout (blocks.0 stem,
+    SE-Res2Net blocks, mfa, asp attention, fc); `_find_prefix` accepts any
+    root carrying those members."""
+    sc = cfg.speaker_encoder
+    root = _find_prefix(imp.raw, "asp.attention.weight", hint="speaker") or "speaker_encoder."
+    _put_tdnn(imp, s["in"], f"{root}blocks.0")
+    for i in range(sc.num_blocks):
+        blk = s[f"block{i}"]
+        base = f"{root}blocks.{i + 1}"
+        _put_tdnn(imp, blk["tdnn1"], f"{base}.tdnn1")
+        for j in range(sc.res2net_scale - 1):
+            _put_tdnn(imp, blk["res2"][j], f"{base}.res2net_block.blocks.{j}")
+        _put_tdnn(imp, blk["tdnn2"], f"{base}.tdnn2")
+        imp.put_pair(blk, "se1", (f"{base}.se_block.fc1.weight", f"{base}.se_block.fc1.bias"))
+        imp.put_pair(blk, "se2", (f"{base}.se_block.fc2.weight", f"{base}.se_block.fc2.bias"))
+    _put_tdnn(imp, s["mfa"], f"{root}mfa")
+    _put_tdnn(imp, s["att_tdnn"], f"{root}asp.tdnn")
+    imp.put_pair(s, "att_proj", (f"{root}asp.attention.weight", f"{root}asp.attention.bias"))
+    bn = s["stats_bn"]
+    imp.put(bn, "bn_g", f"{root}asp_norm.weight")
+    imp.put(bn, "bn_b", f"{root}asp_norm.bias")
+    imp.put(bn, "bn_m", f"{root}asp_norm.running_mean")
+    imp.put(bn, "bn_v", f"{root}asp_norm.running_var")
+    imp.put_pair(s, "out", (f"{root}fc.weight", f"{root}fc.bias"))
+
+
+def _put_res_unit(imp: _Importer, unit: Dict, base: str):
+    imp.put(unit, "a1", f"{base}act1.alpha")
+    imp.put(unit, "b1", f"{base}act1.beta")
+    imp.put(unit, "c1_w", f"{base}conv1.conv.weight", "conv")
+    imp.put(unit, "c1_b", f"{base}conv1.conv.bias")
+    imp.put(unit, "a2", f"{base}act2.alpha")
+    imp.put(unit, "b2", f"{base}act2.beta")
+    imp.put(unit, "c2_w", f"{base}conv2.conv.weight", "conv")
+    imp.put(unit, "c2_b", f"{base}conv2.conv.bias")
+
+
+def _put_convnext(imp: _Importer, cn: Dict, base: str):
+    imp.put(cn, "dw_w", f"{base}dwconv.conv.weight", "conv")
+    imp.put(cn, "dw_b", f"{base}dwconv.conv.bias")
+    imp.put(cn, "ln_w", f"{base}norm.weight")
+    imp.put(cn, "ln_b", f"{base}norm.bias")
+    imp.put(cn, "pw1_w", f"{base}pwconv1.weight", "lin")
+    imp.put(cn, "pw1_b", f"{base}pwconv1.bias")
+    imp.put(cn, "pw2_w", f"{base}pwconv2.weight", "lin")
+    imp.put(cn, "pw2_b", f"{base}pwconv2.bias")
+    imp.put(cn, "gamma", f"{base}gamma")
 
 
 def _import_codec_encoder(imp: _Importer, e: Dict, cfg: Qwen3TTSConfig):
-    """Codec (speech-tokenizer) encoder: audio -> latents for RVQ. Same
-    declared-layout policy as the speaker encoder."""
-    root = _find_prefix(imp.raw, "encoder_in.weight", hint="encoder") or "speech_tokenizer.encoder."
-    imp.put_pair(e, "in", (f"{root}encoder_in.weight", f"{root}encoder_in.bias"))
-    n_down = len(cfg.codec.upsample_rates) + len(cfg.codec.upsampling_ratios)
-    for i in range(n_down):
-        imp.put_pair(e, f"down{i}", (f"{root}down.{i}.weight", f"{root}down.{i}.bias"))
-    imp.put_pair(e, "proj", (f"{root}proj.weight", f"{root}proj.bias"))
+    """Codec (speech-tokenizer) encoder: the structural mirror of the
+    torch-validated Code2Wav decoder (models/voice_extract.encode_latents).
+    Naming mirrors the decoder's export: encoder.N conv/block stack,
+    downsample ConvNeXt stages, pre-quantizer sliding-window transformer."""
+    ccfg = cfg.codec
+    root = _find_prefix(imp.raw, "encoder.0.conv.weight", hint="encoder") or "speech_tokenizer.encoder."
+    imp.put(e, "enc_in_w", f"{root}encoder.0.conv.weight", "conv")
+    imp.put(e, "enc_in_b", f"{root}encoder.0.conv.bias")
+    nb = len(ccfg.upsample_rates)
+    for i in range(nb):
+        blk = e["blocks"][i]
+        base = f"{root}encoder.{i + 1}.block."
+        for u in range(len(blk["units"])):
+            _put_res_unit(imp, blk["units"][u], f"{base}{u}.")
+        nu = len(blk["units"])
+        imp.put(blk, "a", f"{base}{nu}.alpha")
+        imp.put(blk, "b", f"{base}{nu}.beta")
+        imp.put(blk, "down_w", f"{base}{nu + 1}.conv.weight", "conv")
+        imp.put(blk, "down_b", f"{base}{nu + 1}.conv.bias")
+    imp.put(e, "enc_mid_w", f"{root}encoder.{nb + 1}.conv.weight", "conv")
+    imp.put(e, "enc_mid_b", f"{root}encoder.{nb + 1}.conv.bias")
+    for j in range(len(ccfg.upsampling_ratios)):
+        stage = e["downsample"][j]
+        _put_convnext(imp, stage["convnext"], f"{root}downsample.{j}.0.")
+        imp.put(stage, "down_w", f"{root}downsample.{j}.1.conv.weight", "conv")
+        imp.put(stage, "down_b", f"{root}downsample.{j}.1.conv.bias")
+    pt = e["pre_transformer"]
+    imp.put(pt, "final_norm", f"{root}pre_transformer.norm.weight")
+    for name, key in _CODEC_LAYER_MAP.items():
+        tr = "lin" if key in _CODEC_LINEAR_KEYS else None
+        imp.put_stacked(
+            pt["layers"], key,
+            [f"{root}pre_transformer.layers.{i}.{name}" for i in range(ccfg.num_hidden_layers)],
+            tr,
+        )
 
 
 def load_hf_checkpoint(
@@ -656,11 +731,16 @@ def _leaf_count(submodel: str, cfg: Qwen3TTSConfig) -> int:
     """Number of (w,b) leaves an encoder submodel maps (for the all-absent
     tolerance check in optional submodels)."""
     if submodel == "speaker_encoder":
-        return 2 * (1 + 2 * cfg.speaker_encoder.num_blocks + 2)
+        sc = cfg.speaker_encoder
+        per_block = 6 + (sc.res2net_scale - 1) * 6 + 6 + 4  # tdnn1+res2+tdnn2+se
+        return 6 + sc.num_blocks * per_block + 6 + 6 + 2 + 4 + 2
     if submodel == "codec_encoder":
-        n_down = len(cfg.codec.upsample_rates) + len(cfg.codec.upsampling_ratios)
-        return 2 * (1 + n_down + 1)
-    return 0
+        ccfg = cfg.codec
+        nb = len(ccfg.upsample_rates)
+        per_block = 3 * 8 + 2 + 2  # units + snake + down conv
+        per_stage = 9 + 2  # convnext + down conv
+        transformer = 11 * ccfg.num_hidden_layers + 1
+        return 2 + nb * per_block + 2 + len(ccfg.upsampling_ratios) * per_stage + transformer
 
 
 def _init_speaker(cfg: Qwen3TTSConfig):
@@ -773,36 +853,87 @@ def export_hf_layout(params: Dict[str, Any], cfg: Qwen3TTSConfig, path: str) -> 
         s = params["speaker_encoder"]
         root = "speaker_encoder."
 
-        def pair(key, w_name):
-            w, b = s[key]
-            out[f"{root}{w_name}.weight"] = rev(w, "conv")
-            out[f"{root}{w_name}.bias"] = rev(b)
+        def tdnn(td, base):
+            out[f"{base}.conv.weight"] = rev(td["w"], "conv")
+            out[f"{base}.conv.bias"] = rev(td["b"])
+            out[f"{base}.norm.weight"] = rev(td["bn_g"])
+            out[f"{base}.norm.bias"] = rev(td["bn_b"])
+            out[f"{base}.norm.running_mean"] = rev(td["bn_m"])
+            out[f"{base}.norm.running_var"] = rev(td["bn_v"])
 
-        pair("in", "input_conv")
+        def pair(t, base):
+            w, b = t
+            out[f"{base}.weight"] = rev(w, "lin")
+            out[f"{base}.bias"] = rev(b)
+
+        tdnn(s["in"], f"{root}blocks.0")
         for i in range(cfg.speaker_encoder.num_blocks):
-            pair(f"block{i}_a", f"blocks.{i}.conv1")
-            pair(f"block{i}_b", f"blocks.{i}.conv2")
-        w, b = s["attn"]
-        out[f"{root}attention.weight"] = rev(w)  # 2-D linear: stored as-is
-        out[f"{root}attention.bias"] = rev(b)
-        w, b = s["out"]
-        out[f"{root}embedding_proj.weight"] = rev(w)
-        out[f"{root}embedding_proj.bias"] = rev(b)
+            blk = s[f"block{i}"]
+            base = f"{root}blocks.{i + 1}"
+            tdnn(blk["tdnn1"], f"{base}.tdnn1")
+            for j, td in enumerate(blk["res2"]):
+                tdnn(td, f"{base}.res2net_block.blocks.{j}")
+            tdnn(blk["tdnn2"], f"{base}.tdnn2")
+            pair(blk["se1"], f"{base}.se_block.fc1")
+            pair(blk["se2"], f"{base}.se_block.fc2")
+        tdnn(s["mfa"], f"{root}mfa")
+        tdnn(s["att_tdnn"], f"{root}asp.tdnn")
+        pair(s["att_proj"], f"{root}asp.attention")
+        bn = s["stats_bn"]
+        out[f"{root}asp_norm.weight"] = rev(bn["bn_g"])
+        out[f"{root}asp_norm.bias"] = rev(bn["bn_b"])
+        out[f"{root}asp_norm.running_mean"] = rev(bn["bn_m"])
+        out[f"{root}asp_norm.running_var"] = rev(bn["bn_v"])
+        pair(s["out"], f"{root}fc")
 
     if "codec_encoder" in params:
         e = params["codec_encoder"]
         root = "speech_tokenizer.encoder."
-        w, b = e["in"]
-        out[f"{root}encoder_in.weight"] = rev(w, "conv")
-        out[f"{root}encoder_in.bias"] = rev(b)
-        n_down = len(cfg.codec.upsample_rates) + len(cfg.codec.upsampling_ratios)
-        for i in range(n_down):
-            w, b = e[f"down{i}"]
-            out[f"{root}down.{i}.weight"] = rev(w, "conv")
-            out[f"{root}down.{i}.bias"] = rev(b)
-        w, b = e["proj"]
-        out[f"{root}proj.weight"] = rev(w, "conv")
-        out[f"{root}proj.bias"] = rev(b)
+
+        def res_unit(unit, base):
+            out[f"{base}act1.alpha"] = rev(unit["a1"])
+            out[f"{base}act1.beta"] = rev(unit["b1"])
+            out[f"{base}conv1.conv.weight"] = rev(unit["c1_w"], "conv")
+            out[f"{base}conv1.conv.bias"] = rev(unit["c1_b"])
+            out[f"{base}act2.alpha"] = rev(unit["a2"])
+            out[f"{base}act2.beta"] = rev(unit["b2"])
+            out[f"{base}conv2.conv.weight"] = rev(unit["c2_w"], "conv")
+            out[f"{base}conv2.conv.bias"] = rev(unit["c2_b"])
+
+        out[f"{root}encoder.0.conv.weight"] = rev(e["enc_in_w"], "conv")
+        out[f"{root}encoder.0.conv.bias"] = rev(e["enc_in_b"])
+        nb = len(cfg.codec.upsample_rates)
+        for i in range(nb):
+            blk = e["blocks"][i]
+            base = f"{root}encoder.{i + 1}.block."
+            for u, unit in enumerate(blk["units"]):
+                res_unit(unit, f"{base}{u}.")
+            nu = len(blk["units"])
+            out[f"{base}{nu}.alpha"] = rev(blk["a"])
+            out[f"{base}{nu}.beta"] = rev(blk["b"])
+            out[f"{base}{nu + 1}.conv.weight"] = rev(blk["down_w"], "conv")
+            out[f"{base}{nu + 1}.conv.bias"] = rev(blk["down_b"])
+        out[f"{root}encoder.{nb + 1}.conv.weight"] = rev(e["enc_mid_w"], "conv")
+        out[f"{root}encoder.{nb + 1}.conv.bias"] = rev(e["enc_mid_b"])
+        for j, stage in enumerate(e["downsample"]):
+            cn, base = stage["convnext"], f"{root}downsample.{j}.0."
+            out[f"{base}dwconv.conv.weight"] = rev(cn["dw_w"], "conv")
+            out[f"{base}dwconv.conv.bias"] = rev(cn["dw_b"])
+            out[f"{base}norm.weight"] = rev(cn["ln_w"])
+            out[f"{base}norm.bias"] = rev(cn["ln_b"])
+            out[f"{base}pwconv1.weight"] = rev(cn["pw1_w"], "lin")
+            out[f"{base}pwconv1.bias"] = rev(cn["pw1_b"])
+            out[f"{base}pwconv2.weight"] = rev(cn["pw2_w"], "lin")
+            out[f"{base}pwconv2.bias"] = rev(cn["pw2_b"])
+            out[f"{base}gamma"] = rev(cn["gamma"])
+            out[f"{root}downsample.{j}.1.conv.weight"] = rev(stage["down_w"], "conv")
+            out[f"{root}downsample.{j}.1.conv.bias"] = rev(stage["down_b"])
+        pt = e["pre_transformer"]
+        out[f"{root}pre_transformer.norm.weight"] = rev(pt["final_norm"])
+        for name, key in _CODEC_LAYER_MAP.items():
+            tr = "lin" if key in _CODEC_LINEAR_KEYS else None
+            for i in range(cfg.codec.num_hidden_layers):
+                out[f"{root}pre_transformer.layers.{i}.{name}"] = rev(pt["layers"][key][i], tr)
 
     os.makedirs(path, exist_ok=True)
     save_file(out, os.path.join(path, "model.safetensors"))
