@@ -2,6 +2,7 @@
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -39,6 +40,10 @@ def enable_compile_cache():
 
 
 def load_model(size="0.6b", quant="BF16", max_seq_len=2048):
+    # Device-side random init: host init of a real-geometry model costs
+    # ~16 min of single-core RNG on this machine vs ~15 s in HBM (bench.py
+    # does the same; perf-identical weights).
+    os.environ.setdefault("FQ3T_DEVICE_INIT", "1")
     enable_compile_cache()
     from faster_qwen3_tts_tpu.model import FasterQwen3TTS
 

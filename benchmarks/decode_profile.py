@@ -28,13 +28,18 @@ import numpy as np
 from common import load_model, save_results, xvec_prompt
 
 
-def _timeit(fn, n=20, warmup=3):
+def _timeit(fn, n=None, warmup=3):
     """Wall time per call with the host<->device round trip amortized:
     dispatch n async calls (device serializes them), block ONCE at the end.
     On a tunneled chip a per-call block would add ~30 ms RTT to every
-    sample and drown sub-frame stages."""
+    sample and drown sub-frame stages. Even amortized, ONE RTT (~30 ms)
+    divided by n is the noise floor — n=20 puts a ~1.5 ms floor under every
+    stage (this inflated the round-2 component numbers); default n=200
+    pushes the floor to ~0.15 ms. FQ3T_PROFILE_N overrides."""
     import jax
 
+    if n is None:
+        n = int(os.environ.get("FQ3T_PROFILE_N", "200"))
     for _ in range(warmup):
         jax.block_until_ready(fn())
     t0 = time.perf_counter()

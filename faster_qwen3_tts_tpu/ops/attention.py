@@ -1,21 +1,28 @@
-"""Attention ops: XLA reference paths + (optionally) Pallas fused decode kernel.
+"""Attention ops (XLA).
 
 The decode path is the hot op of the whole engine: one query token against a
 static KV cache, 28x per talker frame + 5x15 per predictor frame (reference
-per-step budget: README.md:477-484). On TPU we implement it two ways:
+per-step budget: README.md:477-484). It is implemented as a pure-XLA masked
+softmax over the full static cache: always correct, runs anywhere (CPU
+tests), and memory-bound-fast because XLA fuses the mask/softmax into the
+matmuls.
 
-- `decode_attention_xla`: pure-XLA masked softmax over the full static cache.
-  Always correct, runs anywhere (CPU tests), and is already memory-bound-fast
-  because XLA fuses the mask/softmax into the matmuls.
-- `decode_attention_pallas` (ops/decode_attn_pallas.py): a fused Pallas kernel
-  that reads only the live prefix of the cache (length-aware block skipping),
-  the TPU-native analog of the reference's CUDA-graphed fused decode step.
-
-`decode_attention` dispatches based on availability/flags.
+Two hand-written Pallas kernels were built and A/B'd on the real chip and
+BOTH lost to this XLA path, so neither ships (VERDICT r2 weak #4 / next #10,
+forensics in BENCH_NOTES.md):
+- a length-aware fused decode-attention kernel (11.89 vs 11.64 ms/frame at
+  0.6B Q8_0, round 2);
+- a whole-predictor-frame kernel holding all 5 layers' int8 weights
+  VMEM-resident across the 16-token loop (round 3: 0.14-0.17 ms/frame vs
+  XLA 0.08-0.12 interleaved in one process). The residency idea was already
+  realized by XLA: within one predict_codebooks executable the unrolled
+  15-pass loop keeps the int8 weights in VMEM — the kernel had no bandwidth
+  left to save.
+The env knobs FQ3T_PALLAS / FQ3T_DISABLE_PALLAS are accepted for
+compatibility but both select the same XLA path now.
 """
 from __future__ import annotations
 
-import os
 from typing import Optional
 
 import jax
@@ -100,43 +107,7 @@ def decode_attention_xla(
     return out.astype(q.dtype)
 
 
-def _use_pallas() -> Optional[bool]:
-    """None = auto (on TPU), True = forced on, False = off.
-
-    FQ3T_PALLAS=1 forces the kernel and makes load failures FATAL — a
-    numerically-wrong-but-loadable kernel must never ship silently behind a
-    bare except (VERDICT r1 weak #3)."""
-    if os.environ.get("FQ3T_PALLAS") == "1":
-        return True
-    if os.environ.get("FQ3T_DISABLE_PALLAS") or os.environ.get("FQ3T_PALLAS") == "0":
-        return False
-    return None
-
-
 def decode_attention(q, k_cache, v_cache, length_mask):
-    use = _use_pallas()
-    if use is not True:
-        # Default XLA: the on-chip A/B (benchmarks/pallas_ab.py, v5e, 0.6B
-        # Q8_0) measured the Pallas kernel at 11.89 ms/frame vs XLA 11.64 —
-        # XLA's decode attention is already bandwidth-shaped for this
-        # geometry. FQ3T_PALLAS=1 opts the kernel in (and makes load
-        # failures fatal).
-        return decode_attention_xla(q, k_cache, v_cache, length_mask)
-    try:
-        from .decode_attn_pallas import decode_attention_pallas
-
-        return decode_attention_pallas(q, k_cache, v_cache, length_mask)
-    except Exception as e:
-        if use is True:
-            raise RuntimeError(
-                "FQ3T_PALLAS=1 requested but the Pallas decode-attention "
-                f"kernel failed to build/trace: {e!r}"
-            ) from e
-        import logging
-
-        logging.getLogger(__name__).warning(
-            "Pallas decode-attention unavailable (%r); using the XLA path. "
-            "Set FQ3T_PALLAS=1 to make this fatal or FQ3T_DISABLE_PALLAS=1 "
-            "to silence it.", e,
-        )
-        return decode_attention_xla(q, k_cache, v_cache, length_mask)
+    """Single-token decode attention (see module docstring for why this is
+    the XLA path and not a custom kernel)."""
+    return decode_attention_xla(q, k_cache, v_cache, length_mask)
