@@ -88,6 +88,7 @@ def run_bench(model_size: str, frames: int, chunk: int, runs: int, smoke: bool, 
     log(f"loading {name} (random-init, real geometry)...")
     t0 = time.perf_counter()
     model = FasterQwen3TTS.from_pretrained(name, max_seq_len=2048, quant=quant)
+    load_s = time.perf_counter() - t0
     # Reuse the streaming chunk executable for non-streaming decode: each
     # fresh executable costs a full (remote) XLA compile.
     model.device_chunk = chunk
@@ -100,6 +101,7 @@ def run_bench(model_size: str, frames: int, chunk: int, runs: int, smoke: bool, 
     # matches the bench's short xvec prompt (prefill bucket 32) so the
     # measured runs hit only precompiled executables.
     model.warmup(prefill_len=10, chunk_sizes=(chunk,), first_chunk_size=first_chunk)
+    warmup_s = time.perf_counter() - t0 - load_s
     log(f"model.warmup() done at {time.perf_counter()-t0:.1f}s")
 
     rng = np.random.default_rng(0)
@@ -231,6 +233,9 @@ def run_bench(model_size: str, frames: int, chunk: int, runs: int, smoke: bool, 
             "quant": quant,
             "first_chunk_size": first_chunk,
             "fused_vocode": os.environ.get("FQ3T_FUSED_VOCODE", "1") != "0",
+            "aot_cache": bool(os.environ.get("FQ3T_AOT_CACHE")),
+            "load_s": round(load_s, 1),
+            "warmup_s": round(warmup_s, 1),
             "mode": "xvec_only",
             **icl_stats,
         },
@@ -317,13 +322,21 @@ def main():
         print(RESULT_TAG + json.dumps(result), flush=True)
         return
 
-    # Retry ladder: fused (default) twice, then the round-1-proven host-vocode
-    # path (smaller device programs) as the last resort.
+    # Retry ladder. The first two attempts run with the AOT executable cache
+    # (engine/aot.py): attempt 1 persists every compiled executable, so a
+    # retry after a wedged-tunnel kill reloads them instead of re-paying the
+    # remote compiles (the dominant cost of a retry). The later attempts drop
+    # the cache, then the fused vocode path, so a defect in either can never
+    # take down the measurement. FQ3T_BENCH_AOT=0 skips the cached attempts.
+    aot_dir = os.environ.get("FQ3T_AOT_CACHE", "/tmp/fq3t_aot_bench")
     attempts = [
-        {},
+        {"FQ3T_AOT_CACHE": aot_dir},
+        {"FQ3T_AOT_CACHE": aot_dir},
         {},
         {"FQ3T_FUSED_VOCODE": "0"},
     ]
+    if os.environ.get("FQ3T_BENCH_AOT", "1") == "0":
+        attempts = attempts[2:] + [{}]
     for i, extra_env in enumerate(attempts, 1):
         result = _run_child(args, extra_env, args.stall_secs, i)
         if result is not None:

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import sys
 import time
 from pathlib import Path
@@ -35,6 +36,9 @@ def _add_global_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--attn", default="pallas", choices=["pallas", "xla"])
     p.add_argument("--ref-cache-dir", default=None,
                    help="voice-reference cache dir (native backend)")
+    p.add_argument("--aot-cache", default=None, metavar="DIR",
+                   help="persist compiled TPU executables to DIR so process "
+                        "restarts skip the XLA compiles (sets FQ3T_AOT_CACHE)")
     p.add_argument("--output", "-o", default="output.wav")
     p.add_argument("--streaming", action="store_true",
                    help="use the streaming generator (drained to one wav, RTF printed)")
@@ -54,6 +58,8 @@ def _add_global_flags(p: argparse.ArgumentParser) -> None:
 def _load_model(args):
     from .model import FasterQwen3TTS
 
+    if getattr(args, "aot_cache", None):
+        os.environ["FQ3T_AOT_CACHE"] = args.aot_cache
     kwargs = {}
     if args.backend == "native" and args.ref_cache_dir:
         kwargs["voice_ref_cache_dir"] = args.ref_cache_dir

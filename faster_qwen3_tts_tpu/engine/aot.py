@@ -1,0 +1,186 @@
+"""AOT executable cache: compiled-TPU-executable serialization to disk.
+
+Cold start was the round-2 weak spot: every serving restart re-pays 5+
+minutes of remote XLA compiles for the same executables (the platform's
+JAX persistent *compile* cache captures nothing here — BENCH_NOTES.md).
+PJRT executable serialization, however, works: `jax.experimental.
+serialize_executable` round-trips a compiled executable through bytes in
+~10 ms (probed on the real chip). This module builds a content-addressed
+disk cache on top of it.
+
+This plays the role of the reference's CUDA-graph "capture once, serve
+forever" semantics (reference model.py:239-256) EXTENDED across process
+restarts — something CUDA graphs cannot do at all.
+
+Usage (opt-in): set FQ3T_AOT_CACHE=/path/to/dir. The engine's hot
+dispatches (prefill, decode chunk, fused decode+vocode) then route through
+`call(...)`, which loads a cached executable when the signature matches and
+compiles+persists otherwise. Signatures cover: jax/package versions, device
+kind, function name, pytree structure, every array leaf's shape/dtype, and
+the repr of every static (configs, sampling params, chunk geometry) — any
+mismatch falls back to a fresh compile, never a wrong executable.
+
+Keyword-only calling convention: jitted functions with static_argnames
+interleave static and array parameters, so `call` passes EVERYTHING by
+keyword to `.lower()` and the compiled executable.
+"""
+from __future__ import annotations
+
+import hashlib
+import logging
+import os
+import pickle
+import tempfile
+import threading
+from typing import Any, Dict, Optional
+
+logger = logging.getLogger(__name__)
+
+_ENV = "FQ3T_AOT_CACHE"
+_SCHEMA = "fq3t-aot-v1"
+
+_lock = threading.Lock()
+_loaded: Dict[str, Any] = {}
+
+
+def cache_dir() -> Optional[str]:
+    """The cache directory, or None when disabled.
+
+    TPU-only by default: XLA:CPU's AOT deserialization is machine-feature
+    sensitive (observed "Buffer Definition Event not found" failures on
+    reload), while the TPU path round-trips cleanly. FQ3T_AOT_CACHE_FORCE=1
+    overrides for tests."""
+    d = os.environ.get(_ENV)
+    if not d:
+        return None
+    if os.environ.get("FQ3T_AOT_CACHE_FORCE") == "1":
+        return d
+    import jax
+
+    return d if jax.default_backend() == "tpu" else None
+
+
+def _leaf_sig(leaf) -> str:
+    shape = getattr(leaf, "shape", None)
+    dtype = getattr(leaf, "dtype", None)
+    if shape is not None and dtype is not None:
+        return f"{tuple(shape)}:{dtype}"
+    return repr(leaf)
+
+
+def _signature(name: str, kwargs: Dict[str, Any]) -> str:
+    import jax
+
+    from .. import __version__ as pkg_version
+
+    h = hashlib.sha256()
+    h.update(_SCHEMA.encode())
+    h.update(jax.__version__.encode())
+    h.update(str(pkg_version).encode())
+    try:
+        h.update(jax.devices()[0].device_kind.encode())
+    except Exception:
+        h.update(b"unknown-device")
+    h.update(name.encode())
+    leaves, treedef = jax.tree.flatten(kwargs)
+    h.update(str(treedef).encode())
+    for leaf in leaves:
+        h.update(_leaf_sig(leaf).encode())
+        h.update(b";")
+    return h.hexdigest()[:32]
+
+
+def _path(d: str, sig: str) -> str:
+    return os.path.join(d, f"{sig}.jexe")
+
+
+def call(name: str, jit_fn, **kwargs):
+    """Invoke `jit_fn(**kwargs)` through the executable cache.
+
+    With FQ3T_AOT_CACHE unset this is exactly `jit_fn(**kwargs)` (jit's own
+    in-memory cache applies). With it set, the compiled executable is
+    loaded from / persisted to disk so later processes skip the compile.
+    """
+    d = cache_dir()
+    if d is None:
+        return jit_fn(**kwargs)
+
+    sig = _signature(name, kwargs)
+    with _lock:
+        exe = _loaded.get(sig)
+    if exe is None:
+        exe = _load_or_compile(d, sig, name, jit_fn, kwargs)
+        with _lock:
+            _loaded[sig] = exe
+    # The compiled executable takes only the non-static parameters; statics
+    # were baked at lowering. Passing all kwargs raises a TypeError for the
+    # baked ones, so filter by the executable's recorded input names.
+    dyn = {k: v for k, v in kwargs.items() if k in exe._fq3t_dynamic_names}
+    return exe(**dyn)
+
+
+def _load_or_compile(d: str, sig: str, name: str, jit_fn, kwargs):
+    from jax.experimental import serialize_executable as se
+
+    import jax
+
+    path = _path(d, sig)
+    if os.path.exists(path):
+        try:
+            with open(path, "rb") as fh:
+                payload, dynamic_names, n_dev = pickle.load(fh)
+            # Executables are bound to a device list at load time; the
+            # default (ALL addressable devices) breaks a 1-device program in
+            # a multi-device process, so bind exactly as many devices as the
+            # program was compiled for.
+            exe = se.deserialize_and_load(
+                *payload, execution_devices=jax.devices()[:n_dev]
+            )
+            exe._fq3t_dynamic_names = frozenset(dynamic_names)
+            logger.info("aot cache HIT %s (%s)", name, sig)
+            return exe
+        except Exception as e:  # corrupt/stale entry: recompile
+            logger.warning("aot cache entry %s unreadable (%r); recompiling", path, e)
+    exe = jit_fn.lower(**kwargs).compile()
+    dynamic_names = _dynamic_names(jit_fn, kwargs)
+    exe._fq3t_dynamic_names = dynamic_names
+    try:
+        os.makedirs(d, exist_ok=True)
+        payload = se.serialize(exe)
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+        with os.fdopen(fd, "wb") as fh:
+            pickle.dump((payload, sorted(dynamic_names), _n_devices(exe)), fh)
+        os.replace(tmp, path)
+        logger.info("aot cache STORE %s (%s)", name, sig)
+    except Exception as e:
+        logger.warning("aot cache store failed for %s (%r); continuing", name, e)
+    return exe
+
+
+def _n_devices(compiled) -> int:
+    for probe in (
+        lambda: len(compiled._executable.xla_executable.local_devices()),
+        lambda: len(compiled.runtime_executable().local_devices()),
+    ):
+        try:
+            return probe()
+        except Exception:
+            continue
+    return 1
+
+
+def _dynamic_names(jit_fn, kwargs) -> frozenset:
+    statics = frozenset(getattr(jit_fn, "_jit_info", None).static_argnames
+                        if getattr(jit_fn, "_jit_info", None) is not None
+                        else getattr(jit_fn, "static_argnames", ()) or ())
+    if statics:
+        return frozenset(k for k in kwargs if k not in statics)
+    # Fallback: treat every non-array leaf-free kwarg as static.
+    import jax
+
+    dyn = set()
+    for k, v in kwargs.items():
+        leaves = jax.tree.leaves(v)
+        if leaves and all(hasattr(l, "shape") or hasattr(l, "dtype") for l in leaves):
+            dyn.add(k)
+    return frozenset(dyn)

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from ..config import CodecConfig, PredictorConfig, TalkerConfig
 from ..models import codec as codec_lib
 from ..ops.sampling import SamplingParams
-from . import core
+from . import aot, core
 
 
 def codec_deficit(cfg: CodecConfig) -> int:
@@ -113,12 +113,31 @@ def decode_chunk_fused(
     cross-executable fusion to exploit; dispatch overhead hides behind device
     compute because the dispatches are async).
     """
-    state, packed = core.decode_chunk(
-        talker_params, pred_params, talker_cfg, pred_cfg, state,
-        trailing_text, tts_pad_embed, chunk_size, sampling, pred_sampling, min_new_tokens,
+    state, packed = aot.call(
+        "decode_chunk",
+        core.decode_chunk,
+        talker_params=talker_params,
+        pred_params=pred_params,
+        talker_cfg=talker_cfg,
+        pred_cfg=pred_cfg,
+        state=state,
+        trailing_text=trailing_text,
+        tts_pad_embed=tts_pad_embed,
+        chunk_size=chunk_size,
+        sampling=sampling,
+        pred_sampling=pred_sampling,
+        min_new_tokens=min_new_tokens,
     )
-    new_hist, flat = _vocode_window(
-        codec_params, talker_cfg, codec_cfg, hist, packed, chunk_size, ctx
+    new_hist, flat = aot.call(
+        "vocode_window",
+        _vocode_window,
+        codec_params=codec_params,
+        talker_cfg=talker_cfg,
+        codec_cfg=codec_cfg,
+        hist=hist,
+        packed=packed,
+        chunk_size=chunk_size,
+        ctx=ctx,
     )
     return state, new_hist, flat
 

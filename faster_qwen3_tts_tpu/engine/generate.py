@@ -24,7 +24,7 @@ import numpy as np
 
 from ..config import Qwen3TTSConfig
 from ..ops.sampling import SamplingParams
-from . import core
+from . import aot, core
 
 PREFILL_BUCKETS = (32, 64, 128, 256, 512, 1024, 2048)
 
@@ -170,15 +170,17 @@ class GenerationSession:
         """Dispatch the prefill. With block=False it stays async (the first
         chunk fetch syncs it) — saves one tunnel round trip of TTFA."""
         t0 = time.perf_counter()
-        state, _ = core.start_state(
-            self.params["talker"],
-            self.cfg.talker,
-            self.tie,
-            self.mask,
-            self.key,
-            self.max_seq_len,
-            self.sampling,
-            self.min_new_tokens,
+        state, _ = aot.call(
+            "start_state",
+            core.start_state,
+            talker_params=self.params["talker"],
+            talker_cfg=self.cfg.talker,
+            embeds=self.tie,
+            pad_mask=self.mask,
+            key=self.key,
+            max_seq=self.max_seq_len,
+            sampling=self.sampling,
+            min_new_tokens=self.min_new_tokens,
         )
         self.state = state
         if block:
@@ -188,18 +190,20 @@ class GenerationSession:
     def decode_chunk_async(self, chunk_size: int) -> jax.Array:
         """Dispatch one fused chunk; returns the packed device array WITHOUT
         fetching (lets the caller pipeline dispatch-ahead)."""
-        self.state, packed = core.decode_chunk(
-            self.params["talker"],
-            self.params["predictor"],
-            self.cfg.talker,
-            self.cfg.predictor,
-            self.state,
-            self.tth,
-            self.tpe,
-            chunk_size,
-            self.sampling,
-            self.pred_sampling,
-            self.min_new_tokens,
+        self.state, packed = aot.call(
+            "decode_chunk",
+            core.decode_chunk,
+            talker_params=self.params["talker"],
+            pred_params=self.params["predictor"],
+            talker_cfg=self.cfg.talker,
+            pred_cfg=self.cfg.predictor,
+            state=self.state,
+            trailing_text=self.tth,
+            tts_pad_embed=self.tpe,
+            chunk_size=chunk_size,
+            sampling=self.sampling,
+            pred_sampling=self.pred_sampling,
+            min_new_tokens=self.min_new_tokens,
         )
         return packed
 

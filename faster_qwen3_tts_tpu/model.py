@@ -84,8 +84,14 @@ class SpeechTokenizerFacade:
             bucket *= 2
         if bucket > T:
             codes = np.concatenate([codes, np.tile(codes[-1:], (bucket - T, 1))], axis=0)
-        wav = codec_lib.decode_frames_jit(
-            self._params["codec"], cfg, jnp.asarray(codes[None], jnp.int32)
+        from .engine import aot
+
+        wav = aot.call(
+            "decode_frames",
+            codec_lib.decode_frames_jit,
+            params=self._params["codec"],
+            cfg=cfg,
+            codes=jnp.asarray(codes[None], jnp.int32),
         )
         # fetch-then-slice (eager device indexing = a one-off program)
         return np.asarray(wav, np.float32)[0, :exact]

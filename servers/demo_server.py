@@ -14,6 +14,10 @@ generation lock + queue-depth reporting (reference demo/server.py:664-665,
 1124-1151).
 
 Run:  python servers/demo_server.py --preload 0.6b
+
+Cold start: set FQ3T_AOT_CACHE=<dir> to persist compiled TPU executables
+across restarts (engine/aot.py) — the warmup then reloads them from disk
+instead of re-paying the XLA compiles.
 """
 from __future__ import annotations
 

@@ -16,6 +16,7 @@ import argparse
 import asyncio
 import json
 import logging
+import os
 import queue
 import sys
 import threading
@@ -175,9 +176,15 @@ def main():
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=8880)
     ap.add_argument("--warmup", action="store_true", help="compile before serving")
+    ap.add_argument("--aot-cache", default=None, metavar="DIR",
+                    help="persist compiled TPU executables to DIR — serving "
+                         "restarts reload them instead of recompiling "
+                         "(sets FQ3T_AOT_CACHE; pair with --warmup)")
     args = ap.parse_args()
 
     logging.basicConfig(level=logging.INFO)
+    if args.aot_cache:
+        os.environ["FQ3T_AOT_CACHE"] = args.aot_cache
     global _model
     from faster_qwen3_tts_tpu.model import FasterQwen3TTS
 

@@ -1,0 +1,179 @@
+"""AOT executable cache (engine/aot.py): the cold-start fix.
+
+A serving restart must be able to skip the remote XLA compiles entirely by
+reloading serialized executables (VERDICT r2 weak #5). These tests pin:
+- identical outputs through the cache vs plain jit dispatch,
+- a disk entry per distinct signature, reused across a simulated restart
+  (in-memory map cleared, `lower` forbidden -> any recompile fails loudly),
+- signature sensitivity: changing a static (chunk_size) or a shape makes a
+  new entry instead of reusing a wrong executable,
+- corrupt cache entries fall back to a fresh compile.
+"""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from faster_qwen3_tts_tpu.config import TalkerConfig, PredictorConfig
+from faster_qwen3_tts_tpu.engine import aot, core
+from faster_qwen3_tts_tpu.models import predictor as predictor_lib
+from faster_qwen3_tts_tpu.models import talker as talker_lib
+from faster_qwen3_tts_tpu.ops.sampling import SamplingParams
+
+TCFG = TalkerConfig(
+    hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+    num_key_value_heads=2, head_dim=16, intermediate_size=128,
+    vocab_size=3072, text_vocab_size=512, text_hidden_size=32,
+)
+PCFG = PredictorConfig(
+    hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+    num_key_value_heads=1, head_dim=16, intermediate_size=64, vocab_size=2048,
+)
+GREEDY = SamplingParams(do_sample=False)
+
+
+@pytest.fixture()
+def cache_env(tmp_path, monkeypatch):
+    monkeypatch.setenv("FQ3T_AOT_CACHE", str(tmp_path))
+    # CPU AOT reload is disabled by default (machine-feature sensitivity);
+    # force the cache on for these plumbing tests.
+    monkeypatch.setenv("FQ3T_AOT_CACHE_FORCE", "1")
+    aot._loaded.clear()
+    yield str(tmp_path)
+    aot._loaded.clear()
+
+
+def _start_kwargs(seed=0):
+    tp = talker_lib.init_params(seed, TCFG, dtype=jnp.float32)
+    emb = jnp.asarray(
+        np.random.default_rng(seed).standard_normal((1, 16, 64)) * 0.02, jnp.float32
+    )
+    return dict(
+        talker_params=tp,
+        talker_cfg=TCFG,
+        embeds=emb,
+        pad_mask=jnp.ones((1, 16), jnp.int32),
+        key=jax.random.PRNGKey(seed),
+        max_seq=64,
+        sampling=GREEDY,
+        min_new_tokens=2,
+    )
+
+
+def test_cached_matches_plain_jit(cache_env):
+    kw = _start_kwargs()
+    st_cached, _ = aot.call("start_state", core.start_state, **kw)
+    st_plain, _ = core.start_state(**kw)
+    np.testing.assert_array_equal(np.asarray(st_cached.token), np.asarray(st_plain.token))
+    assert len(os.listdir(cache_env)) == 1
+
+
+def test_restart_reuses_disk_entry_without_compiling(cache_env, monkeypatch):
+    """Plumbing for the restart path: the disk entry is deserialized (with
+    the program's own device count) instead of recompiling, and the statics
+    are filtered out of the executable call. The REAL deserialization is
+    exercised on TPU (test_restart_real_reload_tpu) — XLA:CPU's AOT reload
+    is machine-feature-fragile, which is why cache_dir() is TPU-gated."""
+    kw = _start_kwargs()
+    st1, _ = aot.call("start_state", core.start_state, **kw)
+    tok1 = np.asarray(st1.token)
+    (entry,) = aot._loaded.values()
+    aot._loaded.clear()
+
+    calls = {}
+
+    def fake_deserialize(*payload, execution_devices=None):
+        calls["n_dev"] = len(execution_devices)
+        return entry  # the live executable stands in for the reloaded one
+
+    import jax.experimental.serialize_executable as se
+
+    monkeypatch.setattr(se, "deserialize_and_load", fake_deserialize)
+
+    def boom(*a, **k):
+        raise AssertionError("recompile attempted despite a valid cache entry")
+
+    monkeypatch.setattr(type(core.start_state), "lower", boom, raising=False)
+    st2, _ = aot.call("start_state", core.start_state, **_start_kwargs())
+    np.testing.assert_array_equal(tok1, np.asarray(st2.token))
+    assert calls["n_dev"] == 1  # 1-device program binds 1 device, not all 8
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="real AOT reload is TPU-only"
+)
+def test_restart_real_reload_tpu(cache_env, monkeypatch):
+    kw = _start_kwargs()
+    st1, _ = aot.call("start_state", core.start_state, **kw)
+    tok1 = np.asarray(st1.token)
+    aot._loaded.clear()
+
+    def boom(*a, **k):
+        raise AssertionError("recompile attempted despite a valid cache entry")
+
+    monkeypatch.setattr(type(core.start_state), "lower", boom, raising=False)
+    st2, _ = aot.call("start_state", core.start_state, **_start_kwargs())
+    np.testing.assert_array_equal(tok1, np.asarray(st2.token))
+
+
+def test_distinct_statics_get_distinct_entries(cache_env):
+    kw = _start_kwargs()
+    aot.call("start_state", core.start_state, **kw)
+    kw2 = dict(kw, min_new_tokens=3)
+    aot.call("start_state", core.start_state, **kw2)
+    assert len(os.listdir(cache_env)) == 2
+
+
+def test_distinct_shapes_get_distinct_entries(cache_env):
+    kw = _start_kwargs()
+    aot.call("start_state", core.start_state, **kw)
+    kw2 = dict(kw)
+    kw2["embeds"] = jnp.zeros((1, 32, 64), jnp.float32)
+    kw2["pad_mask"] = jnp.ones((1, 32), jnp.int32)
+    aot.call("start_state", core.start_state, **kw2)
+    assert len(os.listdir(cache_env)) == 2
+
+
+def test_corrupt_entry_recompiles(cache_env):
+    kw = _start_kwargs()
+    st1, _ = aot.call("start_state", core.start_state, **kw)
+    (path,) = [os.path.join(cache_env, f) for f in os.listdir(cache_env)]
+    with open(path, "wb") as fh:
+        fh.write(b"garbage")
+    aot._loaded.clear()
+    st2, _ = aot.call("start_state", core.start_state, **_start_kwargs())
+    np.testing.assert_array_equal(np.asarray(st1.token), np.asarray(st2.token))
+
+
+def test_decode_chunk_through_cache_matches(cache_env):
+    """The donated-state hot path: two chunks through the cache == two chunks
+    through plain jit (donation semantics preserved by serialization)."""
+    pp = predictor_lib.init_params(1, PCFG, TCFG.hidden_size, dtype=jnp.float32)
+    kw = _start_kwargs()
+
+    def run(use_cache):
+        st, _ = core.start_state(**kw)
+        tth = jnp.zeros((1, 8, 64), jnp.float32)
+        tpe = jnp.zeros((1, 1, 64), jnp.float32)
+        outs = []
+        for _ in range(2):
+            if use_cache:
+                st, packed = aot.call(
+                    "decode_chunk", core.decode_chunk,
+                    talker_params=kw["talker_params"], pred_params=pp,
+                    talker_cfg=TCFG, pred_cfg=PCFG, state=st,
+                    trailing_text=tth, tts_pad_embed=tpe, chunk_size=4,
+                    sampling=GREEDY, pred_sampling=GREEDY, min_new_tokens=2,
+                )
+            else:
+                st, packed = core.decode_chunk(
+                    kw["talker_params"], pp, TCFG, PCFG, st, tth, tpe, 4,
+                    GREEDY, GREEDY, 2,
+                )
+            outs.append(np.asarray(packed))
+        return np.concatenate(outs)
+
+    np.testing.assert_array_equal(run(True), run(False))

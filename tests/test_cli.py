@@ -20,6 +20,32 @@ def test_clone_flags_parse():
     assert args.language == "French"
 
 
+def test_aot_cache_flag_sets_env(monkeypatch, tmp_path):
+    """--aot-cache routes to FQ3T_AOT_CACHE before the model loads, so every
+    engine dispatch goes through the executable cache (engine/aot.py)."""
+    import os
+
+    from faster_qwen3_tts_tpu import cli
+
+    ap = build_parser()
+    args = ap.parse_args(["clone", "hi", "--ref-audio", "r.wav",
+                          "--aot-cache", str(tmp_path)])
+    assert args.aot_cache == str(tmp_path)
+    monkeypatch.delenv("FQ3T_AOT_CACHE", raising=False)
+    sentinel = RuntimeError("stop before model construction")
+
+    def fake_from_pretrained(*a, **k):
+        assert os.environ.get("FQ3T_AOT_CACHE") == str(tmp_path)
+        raise sentinel
+
+    monkeypatch.setattr(
+        "faster_qwen3_tts_tpu.model.FasterQwen3TTS.from_pretrained",
+        fake_from_pretrained,
+    )
+    with pytest.raises(RuntimeError, match="stop before model construction"):
+        cli._load_model(args)
+
+
 def test_custom_and_design_flags():
     ap = build_parser()
     a = ap.parse_args(["custom", "--list-speakers"])
