@@ -8,6 +8,17 @@ generation. Built on aiohttp (the async stack available in this image);
 the blocking generator runs in a producer thread bridged by a queue
 (reference openai_server.py:171-206).
 
+`--batch N` replaces the mutex with dp-batched serving — the TPU-native
+extension the reference lacks (its requests serialize behind a lock,
+reference openai_server.py:71). Concurrent streaming requests are
+micro-batched: a scheduler thread collects up to N requests for
+`--batch-window-ms`, then decodes them in lockstep as ONE engine batch
+(`generate_voice_clone_streaming_batch`, dp-sharded when the model was
+loaded with dp>1), routing each slot's chunks to its response. Batch sizes
+are padded up to pow2 buckets so at most log2(N)+1 executables ever
+compile (on-chip scaling: B=8 aggregates 3.25x the B=1 throughput,
+benchmarks/multistream.py).
+
 Run:  python servers/openai_server.py --model <id> [--voices voices.json]
 """
 from __future__ import annotations
@@ -20,6 +31,7 @@ import os
 import queue
 import sys
 import threading
+import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -33,7 +45,106 @@ logger = logging.getLogger("openai_server")
 
 _model = None
 _model_lock = asyncio.Lock()
+# Serializes device access between the batch scheduler thread and the
+# executor-thread mp3 path (asyncio locks don't span plain threads).
+_engine_tlock = threading.Lock()
+_scheduler = None  # BatchScheduler when --batch > 1
 _voices = {}
+
+
+class _BatchJob:
+    """One streaming request waiting for (or inside) an engine batch."""
+
+    def __init__(self, request: dict, chunk_size: int):
+        self.request = request
+        self.chunk_size = chunk_size
+        self.out_q: queue.Queue = queue.Queue(maxsize=32)
+
+
+class BatchScheduler:
+    """Micro-batching scheduler: collects concurrent streaming requests into
+    one lockstep engine batch (the dp-batched serving mode; the engine-side
+    equivalence is pinned by tests/test_batched.py — each stream's tokens
+    match its B=1 run).
+
+    A single daemon thread owns generation. Each round it takes the oldest
+    job, waits up to `window_s` for more jobs with the SAME chunk_size
+    (chunk size is a compile-time constant of the shared executable), pads
+    the batch up to a pow2 bucket by replicating slot 0 (bounds the set of
+    compiled batch shapes; padded slots' output is discarded), and fans the
+    yielded (slot, audio) chunks out to per-job queues. A slot's queue gets
+    None at its stream's end, so short streams finish their HTTP response
+    while long ones keep decoding.
+    """
+
+    def __init__(self, model, max_batch: int, window_s: float):
+        self.model = model
+        self.max_batch = max_batch
+        self.window_s = window_s
+        self._pending: list = []
+        self._cv = threading.Condition()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, job: _BatchJob) -> None:
+        with self._cv:
+            self._pending.append(job)
+            self._cv.notify()
+
+    def _collect(self) -> list:
+        with self._cv:
+            while not self._pending:
+                self._cv.wait()
+            first = self._pending.pop(0)
+            batch = [first]
+            deadline = time.monotonic() + self.window_s
+            while len(batch) < self.max_batch:
+                i = 0
+                while i < len(self._pending) and len(batch) < self.max_batch:
+                    if self._pending[i].chunk_size == first.chunk_size:
+                        batch.append(self._pending.pop(i))
+                    else:
+                        i += 1
+                remaining = deadline - time.monotonic()
+                if len(batch) >= self.max_batch or remaining <= 0:
+                    break
+                self._cv.wait(timeout=remaining)
+        return batch
+
+    def _bucket(self, n: int) -> int:
+        b = 1
+        while b < n:
+            b *= 2
+        return min(b, self.max_batch)
+
+    def _loop(self) -> None:
+        while True:
+            batch = self._collect()
+            try:
+                self._run(batch)
+            except Exception as e:  # pragma: no cover - defensive
+                logger.exception("batch generation failed")
+                for job in batch:
+                    job.out_q.put(e)
+
+    def _run(self, batch: list) -> None:
+        B = len(batch)
+        padded = self._bucket(B)
+        requests = [j.request for j in batch] + [batch[0].request] * (padded - B)
+        finished = [False] * B
+        with _engine_tlock:
+            for slot, audio, sr, timing in self.model.generate_voice_clone_streaming_batch(
+                requests, chunk_size=batch[0].chunk_size
+            ):
+                if slot >= B or finished[slot]:
+                    continue  # padding slot, or trailing chunk after final
+                batch[slot].out_q.put(float_to_pcm16(audio))
+                if timing.get("is_final"):
+                    finished[slot] = True
+                    batch[slot].out_q.put(None)
+        for slot, job in enumerate(batch):
+            if not finished[slot]:
+                job.out_q.put(None)
 
 
 def load_voices(path):
@@ -102,14 +213,17 @@ async def create_speech(request: web.Request) -> web.StreamResponse:
         from faster_qwen3_tts_tpu.utils.mp3 import Mp3Unavailable, encode_mp3
 
         def run_full():
-            audio, sr = _model.generate_voice_clone(
-                text,
-                voice.get("language", "English"),
-                ref_audio=voice.get("ref_audio"),
-                ref_text=voice.get("ref_text", ""),
-                xvec_only=bool(voice.get("xvec_only", False)),
-                voice_clone_prompt=voice.get("voice_clone_prompt"),
-            )
+            # _engine_tlock: in --batch mode generation otherwise lives in the
+            # scheduler thread; this keeps the mp3 path from interleaving.
+            with _engine_tlock:
+                audio, sr = _model.generate_voice_clone(
+                    text,
+                    voice.get("language", "English"),
+                    ref_audio=voice.get("ref_audio"),
+                    ref_text=voice.get("ref_text", ""),
+                    xvec_only=bool(voice.get("xvec_only", False)),
+                    voice_clone_prompt=voice.get("voice_clone_prompt"),
+                )
             return encode_mp3(np.asarray(audio[0]), sr)
 
         async with _model_lock:
@@ -127,6 +241,32 @@ async def create_speech(request: web.Request) -> web.StreamResponse:
         headers={"Content-Type": "audio/wav" if fmt == "wav" else "audio/pcm"},
     )
     await resp.prepare(request)
+
+    if _scheduler is not None:
+        # dp-batched serving: no mutex — the scheduler coalesces concurrent
+        # requests into one lockstep engine batch.
+        if fmt == "wav":
+            await resp.write(wav_header(_model.sample_rate))
+        job = _BatchJob(
+            {
+                "text": text,
+                "language": voice.get("language", "English"),
+                "ref_audio": voice.get("ref_audio"),
+                "ref_text": voice.get("ref_text", ""),
+                "xvec_only": bool(voice.get("xvec_only", False)),
+                "voice_clone_prompt": voice.get("voice_clone_prompt"),
+            },
+            chunk_size,
+        )
+        _scheduler.submit(job)
+        loop = asyncio.get_event_loop()
+        while True:
+            item = await loop.run_in_executor(None, job.out_q.get)
+            if item is None or isinstance(item, Exception):
+                break
+            await resp.write(item)
+        await resp.write_eof()
+        return resp
 
     async with _model_lock:  # one request owns the chip at a time
         if fmt == "wav":
@@ -156,6 +296,8 @@ async def health(request: web.Request) -> web.Response:
             "model_loaded": _model is not None,
             "sample_rate": getattr(_model, "sample_rate", None),
             "voices": sorted(_voices.keys()),
+            "batched": _scheduler is not None,
+            "max_batch": getattr(_scheduler, "max_batch", 1),
         }
     )
 
@@ -180,15 +322,30 @@ def main():
                     help="persist compiled TPU executables to DIR — serving "
                          "restarts reload them instead of recompiling "
                          "(sets FQ3T_AOT_CACHE; pair with --warmup)")
+    ap.add_argument("--batch", type=int, default=1, metavar="N",
+                    help="dp-batched serving: micro-batch up to N concurrent "
+                         "streaming requests into one engine batch "
+                         "(1 = mutex-serialized, the reference's model)")
+    ap.add_argument("--batch-window-ms", type=float, default=100.0,
+                    help="how long the scheduler waits to fill a batch")
+    ap.add_argument("--dp", type=int, default=None,
+                    help="shard the serving batch over a dp-way device mesh "
+                         "(pass to from_pretrained; pair with --batch)")
+    ap.add_argument("--tp", type=int, default=None,
+                    help="tensor-parallel ways for per-request latency")
     args = ap.parse_args()
 
     logging.basicConfig(level=logging.INFO)
     if args.aot_cache:
         os.environ["FQ3T_AOT_CACHE"] = args.aot_cache
-    global _model
+    global _model, _scheduler
     from faster_qwen3_tts_tpu.model import FasterQwen3TTS
 
-    _model = FasterQwen3TTS.from_pretrained(args.model, backend=args.backend, quant=args.quant)
+    _model = FasterQwen3TTS.from_pretrained(
+        args.model, backend=args.backend, quant=args.quant, dp=args.dp, tp=args.tp
+    )
+    if args.batch > 1:
+        _scheduler = BatchScheduler(_model, args.batch, args.batch_window_ms / 1000.0)
     load_voices(args.voices)
     if args.warmup:
         # Warm the exact serving config (default chunk 8, 4-frame fused first

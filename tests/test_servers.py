@@ -77,6 +77,109 @@ async def _openai_errors(oai_app):
         assert r.status == 400
 
 
+class _StubBatchModel(_StubModel):
+    """Records every batched call; yields 2 chunks per slot, interleaved."""
+
+    def __init__(self):
+        self.batch_calls = []
+
+    def generate_voice_clone_streaming_batch(self, requests, chunk_size=8, **kw):
+        self.batch_calls.append([dict(r) for r in requests])
+        B = len(requests)
+        for i in range(2):
+            for s in range(B):
+                yield (
+                    s,
+                    np.full(chunk_size * 1920, 0.01 * (s + 1), np.float32),
+                    self.sample_rate,
+                    {"chunk_index": i, "slot": s, "is_final": i == 1},
+                )
+
+
+def test_openai_batched_serving(monkeypatch):
+    """--batch mode: concurrent requests coalesce into ONE lockstep engine
+    batch (the dp-batched serving the reference lacks — its requests queue
+    behind a mutex, reference openai_server.py:71), and each response gets
+    exactly its own slot's audio."""
+    import servers.openai_server as srv
+
+    stub = _StubBatchModel()
+    monkeypatch.setattr(srv, "_model", stub)
+    monkeypatch.setattr(srv, "_voices", {"alloy": {"ref_audio": None, "xvec_only": True}})
+    # long window so two test requests land in the same batch round
+    monkeypatch.setattr(srv, "_scheduler", srv.BatchScheduler(stub, 4, 0.5))
+    app = srv.make_app()
+
+    async def drive():
+        async with TestClient(TestServer(app)) as client:
+            r1, r2 = await asyncio.gather(
+                client.post("/v1/audio/speech",
+                            json={"input": "first", "voice": "alloy"}),
+                client.post("/v1/audio/speech",
+                            json={"input": "second", "voice": "alloy",
+                                  "response_format": "pcm"}),
+            )
+            assert r1.status == 200 and r2.status == 200
+            b1, b2 = await r1.read(), await r2.read()
+            health = await (await client.get("/health")).json()
+            return b1, b2, health
+
+    b1, b2, health = run(drive())
+    assert health["batched"] and health["max_batch"] == 4
+
+    # exactly one engine call served both requests
+    assert len(stub.batch_calls) == 1
+    texts = [r["text"] for r in stub.batch_calls[0]]
+    assert set(texts[:2]) == {"first", "second"}
+    # pow2 padding replicates slot 0 (2 real -> bucket 2, no padding here)
+    assert len(texts) == 2
+
+    # each response carries its own slot's audio (slot s emits 0.01*(s+1))
+    assert b1[:4] == b"RIFF"
+    pcm1 = np.frombuffer(b1[44:], np.int16)
+    pcm2 = np.frombuffer(b2, np.int16)
+    from faster_qwen3_tts_tpu.utils.audio import float_to_pcm16
+
+    slot1 = 0 if texts[0] == "first" else 1
+    exp1 = np.frombuffer(
+        float_to_pcm16(np.full(1, 0.01 * (slot1 + 1), np.float32)), np.int16)[0]
+    exp2 = np.frombuffer(
+        float_to_pcm16(np.full(1, 0.01 * (2 - slot1), np.float32)), np.int16)[0]
+    assert pcm1.size == 2 * 8 * 1920 and pcm2.size == 2 * 8 * 1920
+    assert int(pcm1[0]) == exp1 and int(pcm2[0]) == exp2
+
+
+def test_openai_batch_pads_to_pow2(monkeypatch):
+    """3 concurrent requests pad to the pow2 bucket (4) by replicating slot 0
+    — bounds the compiled batch shapes; padded output is discarded."""
+    import servers.openai_server as srv
+
+    stub = _StubBatchModel()
+    monkeypatch.setattr(srv, "_model", stub)
+    monkeypatch.setattr(srv, "_voices", {"alloy": {"ref_audio": None, "xvec_only": True}})
+    monkeypatch.setattr(srv, "_scheduler", srv.BatchScheduler(stub, 8, 0.5))
+    app = srv.make_app()
+
+    async def drive():
+        async with TestClient(TestServer(app)) as client:
+            rs = await asyncio.gather(*[
+                client.post("/v1/audio/speech",
+                            json={"input": f"t{i}", "voice": "alloy",
+                                  "response_format": "pcm"})
+                for i in range(3)
+            ])
+            assert all(r.status == 200 for r in rs)
+            return [await r.read() for r in rs]
+
+    bodies = run(drive())
+    assert len(stub.batch_calls) == 1
+    reqs = stub.batch_calls[0]
+    assert len(reqs) == 4  # padded to pow2
+    assert reqs[3]["text"] == reqs[0]["text"]  # replicated slot 0
+    for b in bodies:
+        assert np.frombuffer(b, np.int16).size == 2 * 8 * 1920
+
+
 def test_demo_stream_and_guards(monkeypatch):
     import servers.demo_server as demo
 
