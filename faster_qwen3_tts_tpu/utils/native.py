@@ -28,11 +28,40 @@ def _candidates():
     yield "libfq3t.so"
 
 
+def _ensure_built() -> None:
+    """Build (or rebuild) the repo-local library from source.
+
+    The .so is NOT committed; it is compiled on first use so the binary can
+    never drift stale behind fq3t.cpp — `make` rebuilds iff the source is
+    newer. Failure is fine: every entry point has a numpy fallback.
+    """
+    if os.environ.get("FQ3T_NO_NATIVE_BUILD") == "1":
+        return
+    native_dir = Path(__file__).resolve().parent.parent.parent / "native"
+    src = native_dir / "fq3t.cpp"
+    if not src.exists():
+        return  # installed package without the source tree
+    so = native_dir / "libfq3t.so"
+    if so.exists() and so.stat().st_mtime >= src.stat().st_mtime:
+        return
+    import subprocess
+
+    try:
+        subprocess.run(
+            ["make", "-C", str(native_dir)],
+            capture_output=True, timeout=120, check=True,
+        )
+        logger.info("built native libfq3t from source")
+    except Exception as e:
+        logger.info("native build unavailable (%s); using numpy fallbacks", e)
+
+
 def load_library() -> Optional[ctypes.CDLL]:
     global _LIB, _TRIED
     if _TRIED:
         return _LIB
     _TRIED = True
+    _ensure_built()
     for path in _candidates():
         if not path:
             continue
