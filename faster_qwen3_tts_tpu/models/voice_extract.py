@@ -111,9 +111,9 @@ def _tdnn_init(rng, cin, cout, k, np_dtype=np.float32):
     }
 
 
-def init_speaker_params(seed: int, cfg: SpeakerEncoderConfig, dtype=jnp.float32) -> Dict:
+def init_speaker_params(seed: int, cfg: SpeakerEncoderConfig, dtype=jnp.float32, rng=None) -> Dict:
     """ECAPA-TDNN parameter tree (see module docstring)."""
-    rng = np.random.default_rng(seed)
+    rng = rng if rng is not None else np.random.default_rng(seed)
     C, S = cfg.channels, cfg.res2net_scale
     assert C % S == 0, "channels must divide res2net_scale"
     W = C // S
@@ -252,11 +252,11 @@ def encoder_dims(cfg: CodecConfig) -> Tuple[int, ...]:
     return tuple(base * (2 ** i) for i in range(n + 1))
 
 
-def init_encoder_params(seed: int, cfg: CodecConfig, dtype=jnp.float32) -> Dict:
+def init_encoder_params(seed: int, cfg: CodecConfig, dtype=jnp.float32, rng=None) -> Dict:
     """SEANet-style mirror of the Code2Wav decoder (see module docstring)."""
     from .codec import init_params as _codec_init
 
-    rng = np.random.default_rng(seed)
+    rng = rng if rng is not None else np.random.default_rng(seed)
 
     def conv(cin, cout, k, groups=1):
         w = rng.standard_normal((k, cin // groups, cout), dtype=np.float32)

@@ -198,3 +198,43 @@ def test_codec_matches_torch_code2wav(tmp_path):
     )[0]
     assert got.shape == ref.shape, (got.shape, ref.shape)
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_submodels_subset_returns_only_requested(tiny_config, tmp_path):
+    """submodels=(...) builds and returns ONLY those submodels — the loader
+    must not host-initialize full-geometry codec/encoder weights it was not
+    asked for (that cost 519 s per import before the sentinel skeleton)."""
+    src = _full_params(tiny_config)
+    weights_lib.export_hf_layout(src, tiny_config, str(tmp_path))
+    loaded = weights_lib.load_hf_checkpoint(
+        str(tmp_path), tiny_config, dtype=jnp.float32, strict=True,
+        submodels=("talker",), device_put=False,
+    )
+    assert set(loaded.keys()) == {"talker"}
+    assert not _leaves_equal(src["talker"], loaded["talker"], "talker")
+
+
+def test_no_sentinel_leaks_and_constants_exact(tiny_config, tmp_path):
+    """Missing tensors regenerate at their real init scale (never the 1e-30
+    skeleton sentinel), while constant leaves (norm gammas, bn stats) stay
+    exact — pins the _finalize regeneration contract."""
+    from safetensors.numpy import load_file, save_file
+
+    src = _full_params(tiny_config)
+    weights_lib.export_hf_layout(src, tiny_config, str(tmp_path))
+    f = os.path.join(str(tmp_path), "model.safetensors")
+    flat = load_file(f)
+    flat = {k: v for k, v in flat.items() if not k.startswith("code2wav.")}
+    save_file(flat, f)  # checkpoint now has NO codec-decoder tensors
+    loaded = weights_lib.load_hf_checkpoint(
+        str(tmp_path), tiny_config, dtype=jnp.float32, strict=False,
+        device_put=False,
+    )
+    # codec random leaves regenerated at real init scale; nothing anywhere
+    # still holds the 1e-30 skeleton sentinel
+    for leaf in jax.tree_util.tree_leaves(loaded):
+        a = np.abs(np.asarray(leaf, np.float32))
+        nz = a[a > 0]
+        assert nz.size == 0 or nz.min() > 1e-25, "sentinel leaked into params"
+    # ...and constant-init leaves of the regenerated submodel stay exact
+    assert np.all(np.asarray(loaded["predictor"]["final_norm"], np.float32) == 1.0)
