@@ -322,21 +322,21 @@ def main():
         print(RESULT_TAG + json.dumps(result), flush=True)
         return
 
-    # Retry ladder. The first two attempts run with the AOT executable cache
-    # (engine/aot.py): attempt 1 persists every compiled executable, so a
-    # retry after a wedged-tunnel kill reloads them instead of re-paying the
-    # remote compiles (the dominant cost of a retry). The later attempts drop
-    # the cache, then the fused vocode path, so a defect in either can never
-    # take down the measurement. FQ3T_BENCH_AOT=0 skips the cached attempts.
+    # Retry ladder. Attempt 1 runs with the AOT executable cache
+    # (engine/aot.py) so a follow-up process (or the next round) can reload
+    # executables instead of re-paying the remote compiles; attempts 2-3 are
+    # the round-2-proven ladder WITHOUT it, so even a wedging defect in the
+    # serialize path can only cost one attempt, never the measurement.
+    # FQ3T_BENCH_AOT=0 skips the cached attempt entirely.
     aot_dir = os.environ.get("FQ3T_AOT_CACHE", "/tmp/fq3t_aot_bench")
     attempts = [
         {"FQ3T_AOT_CACHE": aot_dir},
-        {"FQ3T_AOT_CACHE": aot_dir},
+        {},
         {},
         {"FQ3T_FUSED_VOCODE": "0"},
     ]
     if os.environ.get("FQ3T_BENCH_AOT", "1") == "0":
-        attempts = attempts[2:] + [{}]
+        attempts = attempts[1:]
     for i, extra_env in enumerate(attempts, 1):
         result = _run_child(args, extra_env, args.stall_secs, i)
         if result is not None:
