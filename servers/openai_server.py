@@ -59,6 +59,11 @@ class _BatchJob:
         self.request = request
         self.chunk_size = chunk_size
         self.out_q: queue.Queue = queue.Queue(maxsize=32)
+        # Set when the HTTP consumer goes away (disconnect/write error). The
+        # producer must NEVER block forever on a bounded queue nobody drains
+        # — in batch mode that would wedge the scheduler thread for every
+        # future request.
+        self.cancelled = False
 
 
 class BatchScheduler:
@@ -138,12 +143,22 @@ class BatchScheduler:
             ):
                 if slot >= B or finished[slot]:
                     continue  # padding slot, or trailing chunk after final
-                batch[slot].out_q.put(float_to_pcm16(audio))
+                job = batch[slot]
+                # A cancelled slot keeps decoding (the batch is lockstep) but
+                # its chunks are dropped; put() with a timeout so a consumer
+                # that silently stopped draining can only cost one timeout,
+                # never a wedged scheduler.
+                if not job.cancelled:
+                    try:
+                        job.out_q.put(float_to_pcm16(audio), timeout=30)
+                    except queue.Full:
+                        job.cancelled = True
                 if timing.get("is_final"):
                     finished[slot] = True
-                    batch[slot].out_q.put(None)
+                    if not job.cancelled:
+                        job.out_q.put(None)
         for slot, job in enumerate(batch):
-            if not finished[slot]:
+            if not finished[slot] and not job.cancelled:
                 job.out_q.put(None)
 
 
@@ -168,8 +183,13 @@ def resolve_voice(name: str) -> dict:
     )
 
 
-def _stream_chunks(text: str, voice: dict, chunk_size: int, out_q: queue.Queue):
-    """Producer thread: run the blocking streaming generator, push PCM16."""
+def _stream_chunks(text: str, voice: dict, chunk_size: int, out_q: queue.Queue,
+                   cancelled: threading.Event):
+    """Producer thread: run the blocking streaming generator, push PCM16.
+
+    `cancelled` is set when the HTTP consumer goes away; the producer then
+    stops instead of blocking forever on the bounded queue (which would leak
+    the thread and keep the engine generating under a released lock)."""
     try:
         gen = _model.generate_voice_clone_streaming(
             text,
@@ -184,7 +204,12 @@ def _stream_chunks(text: str, voice: dict, chunk_size: int, out_q: queue.Queue):
             voice_clone_prompt=voice.get("voice_clone_prompt"),
         )
         for audio, sr, timing in gen:
-            out_q.put(float_to_pcm16(audio))
+            if cancelled.is_set():
+                return
+            try:
+                out_q.put(float_to_pcm16(audio), timeout=30)
+            except queue.Full:
+                return
         out_q.put(None)
     except Exception as e:  # surface errors to the consumer
         logger.exception("generation failed")
@@ -260,11 +285,14 @@ async def create_speech(request: web.Request) -> web.StreamResponse:
         )
         _scheduler.submit(job)
         loop = asyncio.get_event_loop()
-        while True:
-            item = await loop.run_in_executor(None, job.out_q.get)
-            if item is None or isinstance(item, Exception):
-                break
-            await resp.write(item)
+        try:
+            while True:
+                item = await loop.run_in_executor(None, job.out_q.get)
+                if item is None or isinstance(item, Exception):
+                    break
+                await resp.write(item)
+        finally:
+            job.cancelled = True  # consumer gone: scheduler must not block
         await resp.write_eof()
         return resp
 
@@ -273,18 +301,26 @@ async def create_speech(request: web.Request) -> web.StreamResponse:
             # unknown-length header (reference openai_server.py:96-113)
             await resp.write(wav_header(_model.sample_rate))
         out_q: queue.Queue = queue.Queue(maxsize=8)
+        cancelled = threading.Event()
         t = threading.Thread(
-            target=_stream_chunks, args=(text, voice, chunk_size, out_q), daemon=True
+            target=_stream_chunks, args=(text, voice, chunk_size, out_q, cancelled),
+            daemon=True,
         )
         t.start()
         loop = asyncio.get_event_loop()
-        while True:
-            item = await loop.run_in_executor(None, out_q.get)
-            if item is None:
-                break
-            if isinstance(item, Exception):
-                break
-            await resp.write(item)
+        try:
+            while True:
+                item = await loop.run_in_executor(None, out_q.get)
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    break
+                await resp.write(item)
+        finally:
+            cancelled.set()
+            # Don't release the engine mutex while the producer is still
+            # generating: wait for it to notice the cancel and exit.
+            await loop.run_in_executor(None, t.join)
     await resp.write_eof()
     return resp
 

@@ -149,6 +149,27 @@ def test_openai_batched_serving(monkeypatch):
     assert int(pcm1[0]) == exp1 and int(pcm2[0]) == exp2
 
 
+def test_batch_cancelled_slot_never_wedges_scheduler(monkeypatch):
+    """A consumer that goes away (disconnect) must not block the scheduler:
+    its slot's chunks are dropped and the other slots stream normally."""
+    import servers.openai_server as srv
+
+    stub = _StubBatchModel()
+    monkeypatch.setattr(srv, "_model", stub)
+    sched = srv.BatchScheduler.__new__(srv.BatchScheduler)  # no thread
+    sched.model = stub
+    sched.max_batch = 4
+    j_ok = srv._BatchJob({"text": "alive"}, 8)
+    j_dead = srv._BatchJob({"text": "gone"}, 8)
+    j_dead.cancelled = True
+    sched._run([j_ok, j_dead])
+    # alive slot: 2 chunks + final None
+    items = [j_ok.out_q.get_nowait() for _ in range(3)]
+    assert items[-1] is None and all(isinstance(b, bytes) for b in items[:2])
+    # cancelled slot: nothing delivered, and _run returned (no wedge)
+    assert j_dead.out_q.empty()
+
+
 def test_openai_batch_pads_to_pow2(monkeypatch):
     """3 concurrent requests pad to the pow2 bucket (4) by replicating slot 0
     — bounds the compiled batch shapes; padded output is discarded."""
