@@ -226,8 +226,14 @@ def _wav_b64(audio: np.ndarray, sr: int) -> str:
     return base64.b64encode(buf.getvalue()).decode()
 
 
-def _run_generation(model, payload: dict, out_q: queue.Queue):
-    """Producer thread (reference demo/server.py:986-1122)."""
+def _run_generation(model, payload: dict, out_q: queue.Queue,
+                    cancelled: threading.Event):
+    """Producer thread (reference demo/server.py:986-1122).
+
+    `cancelled` is set when the SSE consumer goes away (closed tab); the
+    producer then stops instead of blocking on the bounded queue forever —
+    which would leak a thread still generating after the generation lock was
+    released."""
     try:
         mode = payload.get("mode", "clone")
         text = payload["text"]
@@ -260,7 +266,12 @@ def _run_generation(model, payload: dict, out_q: queue.Queue):
                 xvec_only=bool(payload.get("xvec_only", False)),
                 voice_clone_prompt=vcp, **common)
         for audio, sr, timing in gen:
-            out_q.put(("chunk", audio, sr, timing))
+            if cancelled.is_set():
+                return
+            try:
+                out_q.put(("chunk", audio, sr, timing), timeout=30)
+            except queue.Full:
+                return
         out_q.put(("done", None, None, None))
     except Exception as e:
         logger.exception("generation failed")
@@ -299,34 +310,41 @@ async def generate_stream(request: web.Request) -> web.StreamResponse:
         _waiters -= 1
         model = _models.get(payload.get("model", "0.6b"), payload.get("quant", "BF16"))
         out_q: queue.Queue = queue.Queue(maxsize=16)
-        t = threading.Thread(target=_run_generation, args=(model, payload, out_q), daemon=True)
+        cancelled = threading.Event()
+        t = threading.Thread(target=_run_generation,
+                             args=(model, payload, out_q, cancelled), daemon=True)
         t.start()
         loop = asyncio.get_event_loop()
         t_start = time.perf_counter()
         total_ms = 0.0
         audio_s = 0.0
         ttfa_ms = None
-        while True:
-            kind, a, sr, timing = await loop.run_in_executor(None, out_q.get)
-            if kind == "done":
-                await sse({"type": "done", "ttfa_ms": ttfa_ms,
-                           "rtf": audio_s / max(total_ms / 1000, 1e-9),
-                           "audio_s": audio_s, "usage": usage})
-                break
-            if kind == "error":
-                await sse({"type": "error", "message": a})
-                break
-            if ttfa_ms is None:
-                ttfa_ms = (time.perf_counter() - t_start) * 1000
-            total_ms += timing.get("prefill_ms", 0) + timing.get("decode_ms", 0)
-            audio_s += len(a) / sr
-            await sse({
-                "type": "chunk",
-                "chunk_index": timing["chunk_index"],
-                "wav_b64": _wav_b64(a, sr),
-                "ttfa_ms": ttfa_ms,
-                "rtf": audio_s / max(total_ms / 1000, 1e-9),
-            })
+        try:
+            while True:
+                kind, a, sr, timing = await loop.run_in_executor(None, out_q.get)
+                if kind == "done":
+                    await sse({"type": "done", "ttfa_ms": ttfa_ms,
+                               "rtf": audio_s / max(total_ms / 1000, 1e-9),
+                               "audio_s": audio_s, "usage": usage})
+                    break
+                if kind == "error":
+                    await sse({"type": "error", "message": a})
+                    break
+                if ttfa_ms is None:
+                    ttfa_ms = (time.perf_counter() - t_start) * 1000
+                total_ms += timing.get("prefill_ms", 0) + timing.get("decode_ms", 0)
+                audio_s += len(a) / sr
+                await sse({
+                    "type": "chunk",
+                    "chunk_index": timing["chunk_index"],
+                    "wav_b64": _wav_b64(a, sr),
+                    "ttfa_ms": ttfa_ms,
+                    "rtf": audio_s / max(total_ms / 1000, 1e-9),
+                })
+        finally:
+            cancelled.set()
+            # keep the generation lock until the producer actually stops
+            await loop.run_in_executor(None, t.join)
     await resp.write_eof()
     return resp
 
