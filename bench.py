@@ -328,12 +328,17 @@ def main():
     # the round-2-proven ladder WITHOUT it, so even a wedging defect in the
     # serialize path can only cost one attempt, never the measurement.
     # FQ3T_BENCH_AOT=0 skips the cached attempt entirely.
-    aot_dir = os.environ.get("FQ3T_AOT_CACHE", "/tmp/fq3t_aot_bench")
+    # Per-uid default dir: cache entries are pickled executables, so the
+    # path must not be guessable/pre-plantable by another local user.
+    aot_dir = os.environ.get("FQ3T_AOT_CACHE", f"/tmp/fq3t_aot_bench_{os.getuid()}")
+    # Empty string DISABLES the cache in the child even when the parent
+    # environment carries FQ3T_AOT_CACHE — a plain {} would inherit it and
+    # defeat the defect isolation.
     attempts = [
         {"FQ3T_AOT_CACHE": aot_dir},
-        {},
-        {},
-        {"FQ3T_FUSED_VOCODE": "0"},
+        {"FQ3T_AOT_CACHE": ""},
+        {"FQ3T_AOT_CACHE": ""},
+        {"FQ3T_AOT_CACHE": "", "FQ3T_FUSED_VOCODE": "0"},
     ]
     if os.environ.get("FQ3T_BENCH_AOT", "1") == "0":
         attempts = attempts[1:]

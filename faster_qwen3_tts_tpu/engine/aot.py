@@ -16,9 +16,16 @@ Usage (opt-in): set FQ3T_AOT_CACHE=/path/to/dir. The engine's hot
 dispatches (prefill, decode chunk, fused decode+vocode) then route through
 `call(...)`, which loads a cached executable when the signature matches and
 compiles+persists otherwise. Signatures cover: jax/package versions, device
-kind, function name, pytree structure, every array leaf's shape/dtype, and
-the repr of every static (configs, sampling params, chunk geometry) — any
-mismatch falls back to a fresh compile, never a wrong executable.
+kind AND count, function name, pytree structure, every array leaf's
+shape/dtype/sharding, and the repr of every static (configs, sampling
+params, chunk geometry) — any mismatch falls back to a fresh compile, never
+a wrong executable. As a last line of defense, an executable loaded from
+disk that fails on its first invocation is evicted and recompiled.
+
+SECURITY: cache entries are pickled; the cache dir must be a path only the
+serving user can write (entries are loaded with pickle.load, so a
+pre-planted file in a world-writable dir would execute code). The CLI and
+servers only enable the cache when the operator passes a dir explicitly.
 
 Keyword-only calling convention: jitted functions with static_argnames
 interleave static and array parameters, so `call` passes EVERYTHING by
@@ -37,7 +44,7 @@ from typing import Any, Dict, Optional
 logger = logging.getLogger(__name__)
 
 _ENV = "FQ3T_AOT_CACHE"
-_SCHEMA = "fq3t-aot-v1"
+_SCHEMA = "fq3t-aot-v2"  # v2: +device count, +per-leaf shardings
 
 _lock = threading.Lock()
 _loaded: Dict[str, Any] = {}
@@ -60,10 +67,28 @@ def cache_dir() -> Optional[str]:
     return d if jax.default_backend() == "tpu" else None
 
 
+# str(treedef) of the full kwargs tree is tens of KB; building it on every
+# hot dispatch would cost host milliseconds. Treedefs are hashable and
+# compare structurally, so the string is computed once per structure.
+_treedef_strs: Dict[Any, bytes] = {}
+# Sharding objects are shared across many leaves and hashable; memoize their
+# string form so per-leaf sharding capture stays O(1) attribute access.
+_sharding_strs: Dict[Any, str] = {}
+
+
 def _leaf_sig(leaf) -> str:
     shape = getattr(leaf, "shape", None)
     dtype = getattr(leaf, "dtype", None)
     if shape is not None and dtype is not None:
+        # Sharding is part of the compiled program (GSPMD partitions by the
+        # input shardings): a tp=2-sharded array must never hit a cache
+        # entry compiled for a replicated one with identical shapes.
+        sh = getattr(leaf, "sharding", None)
+        if sh is not None:
+            s = _sharding_strs.get(sh)
+            if s is None:
+                s = _sharding_strs[sh] = str(sh)
+            return f"{tuple(shape)}:{dtype}:{s}"
         return f"{tuple(shape)}:{dtype}"
     return repr(leaf)
 
@@ -78,12 +103,16 @@ def _signature(name: str, kwargs: Dict[str, Any]) -> str:
     h.update(jax.__version__.encode())
     h.update(str(pkg_version).encode())
     try:
-        h.update(jax.devices()[0].device_kind.encode())
+        dev = jax.devices()
+        h.update(f"{dev[0].device_kind}x{len(dev)}".encode())
     except Exception:
         h.update(b"unknown-device")
     h.update(name.encode())
     leaves, treedef = jax.tree.flatten(kwargs)
-    h.update(str(treedef).encode())
+    td = _treedef_strs.get(treedef)
+    if td is None:
+        td = _treedef_strs[treedef] = str(treedef).encode()
+    h.update(td)
     for leaf in leaves:
         h.update(_leaf_sig(leaf).encode())
         h.update(b";")
@@ -116,7 +145,27 @@ def call(name: str, jit_fn, **kwargs):
     # were baked at lowering. Passing all kwargs raises a TypeError for the
     # baked ones, so filter by the executable's recorded input names.
     dyn = {k: v for k, v in kwargs.items() if k in exe._fq3t_dynamic_names}
-    return exe(**dyn)
+    try:
+        return exe(**dyn)
+    except Exception:
+        if not getattr(exe, "_fq3t_from_cache", False):
+            raise
+        # Last line of defense: a disk-loaded executable that fails on
+        # invocation (env drift the signature missed) is evicted and the
+        # call retried against a fresh compile.
+        logger.warning("cached executable %s (%s) failed at call time; "
+                       "evicting and recompiling", name, sig, exc_info=True)
+        with _lock:
+            _loaded.pop(sig, None)
+        try:
+            os.remove(_path(d, sig))
+        except OSError:
+            pass
+        exe = _load_or_compile(d, sig, name, jit_fn, kwargs)
+        with _lock:
+            _loaded[sig] = exe
+        dyn = {k: v for k, v in kwargs.items() if k in exe._fq3t_dynamic_names}
+        return exe(**dyn)
 
 
 def _load_or_compile(d: str, sig: str, name: str, jit_fn, kwargs):
@@ -137,6 +186,7 @@ def _load_or_compile(d: str, sig: str, name: str, jit_fn, kwargs):
                 *payload, execution_devices=jax.devices()[:n_dev]
             )
             exe._fq3t_dynamic_names = frozenset(dynamic_names)
+            exe._fq3t_from_cache = True
             logger.info("aot cache HIT %s (%s)", name, sig)
             return exe
         except Exception as e:  # corrupt/stale entry: recompile

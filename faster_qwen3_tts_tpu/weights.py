@@ -118,46 +118,14 @@ def init_all_device(cfg: Qwen3TTSConfig, seed: int = 0, dtype=jnp.bfloat16) -> D
     path; benchmarks opt in via FQ3T_DEVICE_INIT=1.
     """
     import jax
-    import numpy as np
 
     skeleton = init_all(cfg, seed=seed, dtype=dtype, device_put=False, rng=_SentinelRng())
-    leaves, treedef = jax.tree_util.tree_flatten(skeleton)
-
-    sentinel_meta = []  # (leaf index, shape, dtype, scale)
-    host_idx = []
-    for i, leaf in enumerate(leaves):
-        a = np.asarray(leaf)
-        # NOTE: no dtype-kind gate — ml_dtypes bfloat16 reports kind 'V'.
-        # The value test alone is decisive: only sentinel-filled leaves can
-        # hold 0 < |x| < 1e-20 (integer/bool/ones/zero/const-fill leaves
-        # can't, and real init scales are >= ~1e-3).
-        v = float(abs(np.float32(a.flat[0]))) if a.size else 0.0
-        if 0.0 < v < 1e-20:
-            sentinel_meta.append((i, a.shape, a.dtype, v / _INIT_SENTINEL))
-        else:
-            host_idx.append(i)
-
-    def _gen(key):
-        ks = jax.random.split(key, len(sentinel_meta))
-        return [
-            (jax.random.normal(k, shape, jnp.float32) * scale).astype(dt)
-            for k, (_i, shape, dt, scale) in zip(ks, sentinel_meta)
-        ]
-
-    # 'rbg' PRNG: counter-based hardware RNG path whose HLO is a single tiny
-    # op per leaf — the default threefry lowering for ~1e8-element draws x150
-    # leaves produces a program that erratic remote compilers chew on for
-    # minutes. Init quality needs no cryptographic stream.
-    key = jax.random.key(seed, impl="rbg")
-    generated = jax.jit(_gen)(key)
-    shipped = jax.device_put([np.asarray(leaves[i]) for i in host_idx])
-
-    out: list = [None] * len(leaves)
-    for (i, *_), g in zip(sentinel_meta, generated):
-        out[i] = g
-    for i, s in zip(host_idx, shipped):
-        out[i] = s
-    return jax.tree_util.tree_unflatten(treedef, out)
+    skeleton = jax.tree.map(np.asarray, skeleton)
+    ids = {id(l) for l in jax.tree_util.tree_leaves(skeleton)}
+    # _finalize (shared with load_hf_checkpoint) regenerates every leaf that
+    # holds the sentinel with device-side RNG at its recovered scale and
+    # ships the constant leaves in one batched transfer.
+    return _finalize(skeleton, ids, device_put_flag=True, seed=seed)
 
 
 # ---------------------------------------------------------------------------
@@ -782,6 +750,10 @@ def _finalize(params: Dict[str, Any], skeleton_ids: set, device_put_flag: bool,
         if id(leaf) not in skeleton_ids:
             continue  # imported tensor: never read back
         a = np.asarray(leaf)
+        # NOTE: no dtype-kind gate — ml_dtypes bfloat16 reports kind 'V'.
+        # The value test alone is decisive: only sentinel-filled leaves can
+        # hold 0 < |x| < 1e-20 (integer/bool/ones/zero/const-fill leaves
+        # can't, and real init scales are >= ~1e-3).
         v = float(abs(np.float32(a.flat[0]))) if a.size else 0.0
         if 0.0 < v < 1e-20:
             regen.append((i, a.shape, a.dtype, v / _INIT_SENTINEL))
@@ -794,6 +766,11 @@ def _finalize(params: Dict[str, Any], skeleton_ids: set, device_put_flag: bool,
                     for k, (_i, shape, dt, scale) in zip(ks, regen)
                 ]
 
+            # 'rbg' PRNG: counter-based hardware RNG path whose HLO is one
+            # tiny op per leaf — the default threefry lowering for ~1e8-
+            # element draws x150 leaves produces a program that erratic
+            # remote compilers chew on for minutes. Init quality needs no
+            # cryptographic stream.
             generated = jax.jit(_gen)(jax.random.key(seed, impl="rbg"))
         else:
             host = np.random.default_rng(seed)

@@ -40,6 +40,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np
 from aiohttp import web
 
+from servers.qcommon import terminal_put
 from servers.usage_db import QuotaExceeded, UsageDB, WebGate
 
 logger = logging.getLogger("demo_server")
@@ -234,6 +235,7 @@ def _run_generation(model, payload: dict, out_q: queue.Queue,
     producer then stops instead of blocking on the bounded queue forever —
     which would leak a thread still generating after the generation lock was
     released."""
+    terminal = ("done", None, None, None)
     try:
         mode = payload.get("mode", "clone")
         text = payload["text"]
@@ -272,10 +274,15 @@ def _run_generation(model, payload: dict, out_q: queue.Queue,
                 out_q.put(("chunk", audio, sr, timing), timeout=30)
             except queue.Full:
                 return
-        out_q.put(("done", None, None, None))
+        terminal = ("done", None, None, None)
     except Exception as e:
         logger.exception("generation failed")
-        out_q.put(("error", str(e), None, None))
+        terminal = ("error", str(e), None, None)
+    finally:
+        # Always lands, never blocks (evicts a stale chunk if full) — the
+        # consumer's blocking get() must wake even after a cancel/overflow,
+        # and the producer must always exit so t.join() returns.
+        terminal_put(out_q, terminal)
 
 
 async def generate_stream(request: web.Request) -> web.StreamResponse:
@@ -290,6 +297,16 @@ async def generate_stream(request: web.Request) -> web.StreamResponse:
     if len(text) > MAX_TEXT_CHARS:
         raise web.HTTPBadRequest(
             text=json.dumps({"error": f"text too long (max {MAX_TEXT_CHARS} chars)"}),
+            content_type="application/json")
+    # chunk_size is a compile-shape key (each distinct value = a fresh remote
+    # XLA compile); only the warmed sizes are accepted.
+    try:
+        _cs = int(payload.get("chunk_size", 8))
+    except (TypeError, ValueError):
+        _cs = -1
+    if _cs not in (4, 8, 12):
+        raise web.HTTPBadRequest(
+            text=json.dumps({"error": "chunk_size must be one of [4, 8, 12]"}),
             content_type="application/json")
     # Consume quota only after the payload validates: a 400 must not burn a
     # free-tier unit (ADVICE r2).

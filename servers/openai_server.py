@@ -40,11 +40,16 @@ import numpy as np
 from aiohttp import web
 
 from faster_qwen3_tts_tpu.utils.audio import float_to_pcm16, wav_header
+from servers.qcommon import terminal_put
 
 logger = logging.getLogger("openai_server")
 
 _model = None
 _model_lock = asyncio.Lock()
+# The serving chunk sizes warmup precompiles (8 = default + 4-frame first
+# chunk; 12 = the reference API default). Requests outside this set would
+# trigger unbounded new executables.
+ALLOWED_CHUNK_SIZES = frozenset({4, 8, 12})
 # Serializes device access between the batch scheduler thread and the
 # executor-thread mp3 path (asyncio locks don't span plain threads).
 _engine_tlock = threading.Lock()
@@ -80,6 +85,12 @@ class BatchScheduler:
     yielded (slot, audio) chunks out to per-job queues. A slot's queue gets
     None at its stream's end, so short streams finish their HTTP response
     while long ones keep decoding.
+
+    Failure domain: prompt preparation happens inside the shared engine call,
+    so a request whose voice config is broken (e.g. an operator-registered
+    ref_audio path that does not exist) fails the whole round — every job in
+    the batch gets the error. Request-side inputs (text, format, voice name)
+    are validated per-request in create_speech before submission.
     """
 
     def __init__(self, model, max_batch: int, window_s: float):
@@ -130,7 +141,7 @@ class BatchScheduler:
             except Exception as e:  # pragma: no cover - defensive
                 logger.exception("batch generation failed")
                 for job in batch:
-                    job.out_q.put(e)
+                    terminal_put(job.out_q, e)
 
     def _run(self, batch: list) -> None:
         B = len(batch)
@@ -155,11 +166,11 @@ class BatchScheduler:
                         job.cancelled = True
                 if timing.get("is_final"):
                     finished[slot] = True
-                    if not job.cancelled:
-                        job.out_q.put(None)
-        for slot, job in enumerate(batch):
-            if not finished[slot] and not job.cancelled:
-                job.out_q.put(None)
+                    terminal_put(job.out_q, None)
+        for job in batch:
+            # Unconditional, non-blocking: even a cancelled slot's consumer
+            # may have an executor thread parked in out_q.get().
+            terminal_put(job.out_q, None)
 
 
 def load_voices(path):
@@ -190,6 +201,7 @@ def _stream_chunks(text: str, voice: dict, chunk_size: int, out_q: queue.Queue,
     `cancelled` is set when the HTTP consumer goes away; the producer then
     stops instead of blocking forever on the bounded queue (which would leak
     the thread and keep the engine generating under a released lock)."""
+    terminal = None
     try:
         gen = _model.generate_voice_clone_streaming(
             text,
@@ -210,10 +222,13 @@ def _stream_chunks(text: str, voice: dict, chunk_size: int, out_q: queue.Queue,
                 out_q.put(float_to_pcm16(audio), timeout=30)
             except queue.Full:
                 return
-        out_q.put(None)
     except Exception as e:  # surface errors to the consumer
         logger.exception("generation failed")
-        out_q.put(e)
+        terminal = e
+    finally:
+        # Always lands, never blocks (evicts a stale chunk if full): the
+        # consumer's blocking get() must wake even after a cancel/overflow.
+        terminal_put(out_q, terminal)
 
 
 async def create_speech(request: web.Request) -> web.StreamResponse:
@@ -230,7 +245,23 @@ async def create_speech(request: web.Request) -> web.StreamResponse:
             content_type="application/json",
         )
     voice = resolve_voice(body.get("voice", "default"))
-    chunk_size = int(body.get("chunk_size", 8))
+    # chunk_size is a compile-shape key: every distinct value costs a fresh
+    # multi-minute remote XLA compile (and fragments --batch coalescing), so
+    # clients may only pick from the warmed set.
+    try:
+        chunk_size = int(body.get("chunk_size", 8))
+    except (TypeError, ValueError):
+        raise web.HTTPBadRequest(
+            text=json.dumps({"error": "chunk_size must be an integer"}),
+            content_type="application/json",
+        )
+    if chunk_size not in ALLOWED_CHUNK_SIZES:
+        raise web.HTTPBadRequest(
+            text=json.dumps(
+                {"error": f"chunk_size must be one of {sorted(ALLOWED_CHUNK_SIZES)}"}
+            ),
+            content_type="application/json",
+        )
 
     if fmt == "mp3":
         # Non-streaming: full generation then one encode (the reference does

@@ -177,3 +177,37 @@ def test_decode_chunk_through_cache_matches(cache_env):
         return np.concatenate(outs)
 
     np.testing.assert_array_equal(run(True), run(False))
+
+
+def test_callfailure_on_loaded_exe_evicts_and_recompiles(cache_env):
+    """An executable loaded from disk that fails at CALL time (env drift the
+    signature missed) must be evicted and transparently recompiled — never
+    crash the dispatch or serve a wedged entry forever."""
+    import os
+
+    kw = _start_kwargs()
+    st_ref, _ = aot.call("start_state", core.start_state, **kw)  # store entry
+    (path,) = [os.path.join(cache_env, f) for f in os.listdir(cache_env)
+               if f.endswith(".jexe")]
+    mtime_before = os.stat(path).st_mtime
+    aot._loaded.clear()
+
+    class _BrokenExe:
+        def __call__(self, **kwargs):
+            raise RuntimeError("deserialized executable incompatible")
+
+    from jax.experimental import serialize_executable as se
+
+    orig = se.deserialize_and_load
+    try:
+        se.deserialize_and_load = lambda *a, **k: _BrokenExe()
+        st2, _ = aot.call("start_state", core.start_state, **_start_kwargs())
+    finally:
+        se.deserialize_and_load = orig
+    np.testing.assert_array_equal(np.asarray(st2.token), np.asarray(st_ref.token))
+    # the entry was rewritten by the fresh compile
+    assert os.path.exists(path) and os.stat(path).st_mtime >= mtime_before
+    # (Scope: the fallback catches SYNCHRONOUS invocation failures. Errors
+    # that XLA defers into the async result surface at the consumer's fetch,
+    # outside aot.call — that is the platform flakiness the TPU-only default
+    # gate in cache_dir() exists for.)

@@ -163,11 +163,15 @@ def test_batch_cancelled_slot_never_wedges_scheduler(monkeypatch):
     j_dead = srv._BatchJob({"text": "gone"}, 8)
     j_dead.cancelled = True
     sched._run([j_ok, j_dead])
-    # alive slot: 2 chunks + final None
+    # alive slot: 2 chunks then the terminal None
     items = [j_ok.out_q.get_nowait() for _ in range(3)]
     assert items[-1] is None and all(isinstance(b, bytes) for b in items[:2])
-    # cancelled slot: nothing delivered, and _run returned (no wedge)
-    assert j_dead.out_q.empty()
+    # cancelled slot: no audio chunks delivered, but a terminal None DOES
+    # land so an executor thread parked in out_q.get() always wakes up
+    drained = []
+    while not j_dead.out_q.empty():
+        drained.append(j_dead.out_q.get_nowait())
+    assert drained and all(d is None for d in drained)
 
 
 def test_openai_batch_pads_to_pow2(monkeypatch):
