@@ -75,6 +75,21 @@ async def _openai_errors(oai_app):
             "/v1/audio/speech", json={"input": "x", "response_format": "ogg"}
         )
         assert r.status == 400
+        # chunk_size is a compile-shape key: values outside the warmed set
+        # (and non-integers) must 400 instead of triggering a fresh compile
+        for bad in (5, 0, -8, "big", None):
+            r = await client.post(
+                "/v1/audio/speech",
+                json={"input": "x", "voice": "alloy", "chunk_size": bad},
+            )
+            assert r.status == 400, bad
+        # warmed values pass validation and stream
+        r = await client.post(
+            "/v1/audio/speech",
+            json={"input": "x", "voice": "alloy", "chunk_size": 4,
+                  "response_format": "pcm"},
+        )
+        assert r.status == 200 and len(await r.read()) > 0
 
 
 class _StubBatchModel(_StubModel):
@@ -483,6 +498,55 @@ def test_demo_require_login_and_quota(monkeypatch, tmp_path):
             # /usage reflects the consumption without consuming
             u = await (await client.get("/usage")).json()
             assert u["usage"]["used_today"] == 2
+
+    run(body())
+
+
+def test_demo_invalid_payload_does_not_burn_quota(monkeypatch, tmp_path):
+    """400-rejected payloads (bad chunk_size, oversize text) must not consume
+    a free-tier unit (ADVICE r2): quota is consumed only after validation."""
+    import servers.demo_server as demo
+    from servers.usage_db import UsageDB
+
+    class _Cache:
+        def get(self, key, quant):
+            return _StubModel()
+
+        def loaded(self):
+            return ["stub"]
+
+    monkeypatch.setattr(demo, "_models", _Cache())
+    monkeypatch.setattr(demo, "REQUIRE_LOGIN", True)
+    monkeypatch.setattr(
+        demo, "_oauth_parser",
+        lambda req: {"sub": "u1", "username": "u1", "is_pro": False},
+    )
+    monkeypatch.setattr(
+        demo, "_usage_db",
+        UsageDB(tmp_path / "u.sqlite3", hash_secret=b"k", daily_free_limit=2),
+    )
+    app = demo.make_app()
+
+    async def body():
+        async with TestClient(TestServer(app)) as client:
+            for bad_payload in (
+                {"text": "hi", "chunk_size": 5},      # not a warmed shape
+                {"text": "hi", "chunk_size": "big"},  # not an integer
+                {"text": "x" * 2000},                 # over MAX_TEXT_CHARS
+                {"text": ""},                         # empty
+            ):
+                r = await client.post("/generate/stream", json=bad_payload)
+                assert r.status == 400, bad_payload
+            u = await (await client.get("/usage")).json()
+            assert u["usage"]["used_today"] == 0  # nothing burned
+            # a valid request still works and consumes exactly one unit
+            r = await client.post(
+                "/generate/stream", json={"text": "hi", "xvec_only": True}
+            )
+            assert r.status == 200
+            await r.read()
+            u = await (await client.get("/usage")).json()
+            assert u["usage"]["used_today"] == 1
 
     run(body())
 
