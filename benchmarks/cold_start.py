@@ -1,0 +1,218 @@
+#!/usr/bin/env python3
+"""Cold-start benchmark: process restart -> first playable audio.
+
+The reference's CUDA-graph capture is per-process: every restart re-captures
+(reference model.py:239-256). This framework's analog is worse by default —
+remote XLA compiles cost minutes (BENCH_r02: 355 s warmup tail) — and better
+with the AOT executable cache (engine/aot.py): restarts reload compiled
+executables from disk.
+
+This harness measures BOTH, end to end, with each pass in a FRESH process:
+  pass "cold": empty cache dir — pays every compile, populates the cache.
+  pass "warm": same dir — the restart path an operator actually experiences.
+Time is wall-clock from child-process spawn (interpreter + imports included)
+to the first streaming audio chunk, through the public API.
+
+Usage (real chip):   python benchmarks/cold_start.py --model 0.6b --quant Q8_0
+CPU smoke:           FQ3T_AOT_CACHE_FORCE=1 python benchmarks/cold_start.py --tiny
+Prints one JSON line with {cold_s, warm_s, speedup}.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+# ---------------------------------------------------------------------------
+# Child: one full process lifecycle, timed from spawn
+# ---------------------------------------------------------------------------
+
+
+def run_child(args) -> None:
+    t0 = float(os.environ["FQ3T_COLDSTART_T0"])  # parent's spawn timestamp
+
+    def stage(name):
+        log(f"  stage {name}: {time.time() - t0:.1f}s")
+
+    os.environ.setdefault("FQ3T_DEVICE_INIT", "1")
+    import logging
+
+    logging.basicConfig(level=logging.INFO, stream=sys.stderr)
+
+    import numpy as np  # noqa: F401  (imported for parity with serving)
+
+    stage("imports")
+
+    from faster_qwen3_tts_tpu.model import FasterQwen3TTS
+
+    if args.tiny:
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from faster_qwen3_tts_tpu import weights as weights_lib
+        from faster_qwen3_tts_tpu.config import get_config
+        from faster_qwen3_tts_tpu.utils.tokenizer import ByteTokenizer, PromptTokenizer
+
+        cfg = get_config("0.6b")
+        cfg = dataclasses.replace(
+            cfg,
+            talker=dataclasses.replace(
+                cfg.talker, num_hidden_layers=2, hidden_size=128,
+                num_attention_heads=4, num_key_value_heads=2, head_dim=32,
+                intermediate_size=256, text_hidden_size=64,
+                text_vocab_size=512,
+            ),
+            predictor=dataclasses.replace(
+                cfg.predictor, num_hidden_layers=2, hidden_size=64,
+                num_attention_heads=2, num_key_value_heads=1, head_dim=32,
+                intermediate_size=128,
+            ),
+            codec=dataclasses.replace(
+                cfg.codec, hidden_size=64, num_hidden_layers=1,
+                intermediate_size=128, num_attention_heads=2,
+                num_key_value_heads=2, head_dim=32,
+            ),
+        )
+        params = weights_lib.init_all(cfg, seed=0, dtype=jnp.float32)
+        model = FasterQwen3TTS(
+            params, cfg, PromptTokenizer(ByteTokenizer()), max_seq_len=256
+        )
+    else:
+        name = {
+            "0.6b": "Qwen/Qwen3-TTS-12Hz-0.6B-Base",
+            "1.7b": "Qwen/Qwen3-TTS-12Hz-1.7B-Base",
+        }[args.model]
+        model = FasterQwen3TTS.from_pretrained(
+            name, max_seq_len=2048, quant=args.quant
+        )
+    load_done = time.time() - t0
+    stage("model_loaded")
+
+    # The exact serving warmup both servers use.
+    model.warmup(prefill_len=10, chunk_sizes=(8,), first_chunk_size=4)
+    warm_done = time.time() - t0
+    stage("warmup_done")
+
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    prompt = {
+        "ref_spk_embedding": [rng.standard_normal(2048).astype(np.float32)],
+        "x_vector_only_mode": [True],
+        "icl_mode": [False],
+        "ref_code": [None],
+    }
+    first_audio = None
+    for audio, sr, timing in model.generate_voice_clone_streaming(
+        "Cold start measurement sentence.", "English",
+        voice_clone_prompt=prompt, max_new_tokens=16, chunk_size=8,
+        first_chunk_size=4, do_sample=False, seed=0,
+    ):
+        first_audio = time.time() - t0
+        stage("first_audio")
+        break
+
+    print(json.dumps({
+        "total_to_first_audio_s": round(first_audio, 1),
+        "load_s": round(load_done, 1),
+        "warmup_s": round(warm_done - load_done, 1),
+        "first_request_s": round(first_audio - warm_done, 1),
+    }), flush=True)
+
+
+# ---------------------------------------------------------------------------
+# Parent: cold pass then warm pass, fresh process each
+# ---------------------------------------------------------------------------
+
+
+def run_pass(args, label: str, cache_dir: str, timeout_s: float):
+    env = dict(os.environ)
+    env["FQ3T_AOT_CACHE"] = cache_dir
+    env["FQ3T_COLDSTART_T0"] = repr(time.time())
+    # The child script lives in benchmarks/, so sys.path[0] is benchmarks/;
+    # prepend the repo root (append-preserving: the TPU plugin may ride an
+    # existing PYTHONPATH entry).
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
+    if env.get("JAX_PLATFORMS") == "cpu":
+        # CPU smoke: the axon TPU plugin registers from sitecustomize (via
+        # PALLAS_AXON_POOL_IPS) BEFORE JAX_PLATFORMS is consulted and then
+        # retry-sleeps on an unreachable tunnel; dropping the var is what
+        # actually keeps the child on CPU (same dance as __graft_entry__).
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+    cmd = [sys.executable, os.path.abspath(__file__), "--child",
+           "--model", args.model, "--quant", args.quant]
+    if args.tiny:
+        cmd.append("--tiny")
+    log(f"[{label}] starting child (cache={cache_dir})")
+    proc = subprocess.run(
+        cmd, env=env, timeout=timeout_s, capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    sys.stderr.write(proc.stderr)
+    if proc.returncode != 0:
+        raise RuntimeError(f"{label} pass failed (rc={proc.returncode})")
+    result = json.loads(proc.stdout.strip().splitlines()[-1])
+    log(f"[{label}] first audio at {result['total_to_first_audio_s']}s")
+    return result
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--child", action="store_true")
+    ap.add_argument("--model", default="0.6b", choices=["0.6b", "1.7b"])
+    ap.add_argument("--quant", default="Q8_0")
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny geometry (CPU smoke; set FQ3T_AOT_CACHE_FORCE=1)")
+    ap.add_argument("--cache-dir", default=None,
+                    help="AOT cache dir (default: fresh temp dir)")
+    ap.add_argument("--timeout", type=float, default=1800.0)
+    args = ap.parse_args()
+
+    if args.child:
+        run_child(args)
+        return
+
+    cache = args.cache_dir or tempfile.mkdtemp(prefix="fq3t_coldstart_")
+    fresh = not os.listdir(cache) if os.path.isdir(cache) else True
+    try:
+        cold = run_pass(args, "cold", cache, args.timeout) if fresh else None
+        n_exe = len([f for f in os.listdir(cache) if f.endswith(".jexe")])
+        warm = run_pass(args, "warm", cache, args.timeout)
+        extras = {
+            "warm_breakdown": warm,
+            "cached_executables": n_exe,
+            "model_size": args.model,
+            "quant": args.quant,
+            "tiny": args.tiny,
+        }
+        if cold:
+            extras["cold_s"] = cold["total_to_first_audio_s"]
+            extras["cold_breakdown"] = cold
+            extras["speedup"] = round(
+                cold["total_to_first_audio_s"] / warm["total_to_first_audio_s"], 2
+            )
+        print(json.dumps({
+            "metric": "warm_restart_to_first_audio_s",
+            "value": warm["total_to_first_audio_s"],
+            "unit": "s",
+            "extras": extras,
+        }), flush=True)
+    finally:
+        if args.cache_dir is None:
+            shutil.rmtree(cache, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
