@@ -87,7 +87,23 @@ def run_bench(model_size: str, frames: int, chunk: int, runs: int, smoke: bool, 
     log(f"backend={jax.default_backend()} devices={jax.devices()}")
     log(f"loading {name} (random-init, real geometry)...")
     t0 = time.perf_counter()
-    model = FasterQwen3TTS.from_pretrained(name, max_seq_len=2048, quant=quant)
+    if os.environ.get("FQ3T_BENCH_TINY") == "1":
+        # Harness smoke mode: tiny geometry so the whole parent/watchdog/
+        # child/JSON pipeline can be exercised on CPU (tests/test_bench_
+        # harness.py). Numbers are meaningless; the contract is what's pinned.
+        import jax.numpy as jnp
+
+        from faster_qwen3_tts_tpu import weights as weights_lib
+        from faster_qwen3_tts_tpu.config import tiny_test_config
+        from faster_qwen3_tts_tpu.utils.tokenizer import ByteTokenizer, PromptTokenizer
+
+        cfg = tiny_test_config()
+        params = weights_lib.init_all(cfg, seed=0, dtype=jnp.float32)
+        model = FasterQwen3TTS(
+            params, cfg, PromptTokenizer(ByteTokenizer()), max_seq_len=256
+        )
+    else:
+        model = FasterQwen3TTS.from_pretrained(name, max_seq_len=2048, quant=quant)
     load_s = time.perf_counter() - t0
     # Reuse the streaming chunk executable for non-streaming decode: each
     # fresh executable costs a full (remote) XLA compile.

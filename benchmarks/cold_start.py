@@ -56,34 +56,13 @@ def run_child(args) -> None:
     from faster_qwen3_tts_tpu.model import FasterQwen3TTS
 
     if args.tiny:
-        import dataclasses
-
         import jax.numpy as jnp
 
         from faster_qwen3_tts_tpu import weights as weights_lib
-        from faster_qwen3_tts_tpu.config import get_config
+        from faster_qwen3_tts_tpu.config import tiny_test_config
         from faster_qwen3_tts_tpu.utils.tokenizer import ByteTokenizer, PromptTokenizer
 
-        cfg = get_config("0.6b")
-        cfg = dataclasses.replace(
-            cfg,
-            talker=dataclasses.replace(
-                cfg.talker, num_hidden_layers=2, hidden_size=128,
-                num_attention_heads=4, num_key_value_heads=2, head_dim=32,
-                intermediate_size=256, text_hidden_size=64,
-                text_vocab_size=512,
-            ),
-            predictor=dataclasses.replace(
-                cfg.predictor, num_hidden_layers=2, hidden_size=64,
-                num_attention_heads=2, num_key_value_heads=1, head_dim=32,
-                intermediate_size=128,
-            ),
-            codec=dataclasses.replace(
-                cfg.codec, hidden_size=64, num_hidden_layers=1,
-                intermediate_size=128, num_attention_heads=2,
-                num_key_value_heads=2, head_dim=32,
-            ),
-        )
+        cfg = tiny_test_config()
         params = weights_lib.init_all(cfg, seed=0, dtype=jnp.float32)
         model = FasterQwen3TTS(
             params, cfg, PromptTokenizer(ByteTokenizer()), max_seq_len=256

@@ -323,6 +323,34 @@ def get_config(name: str) -> Qwen3TTSConfig:
     return Qwen3TTSConfig(model_type=mtype, model_size=size, talker=talker, predictor=pred)
 
 
+def tiny_test_config(model_type: str = "base") -> Qwen3TTSConfig:
+    """A miniature full-stack config: real structure (layer kinds, special
+    ids, codec frame geometry — still 1920 samples/frame at 24 kHz), tiny
+    widths. Used by harness smoke modes (bench.py FQ3T_BENCH_TINY,
+    benchmarks/cold_start.py --tiny) so the measurement plumbing itself can
+    be exercised on CPU in seconds."""
+    cfg = get_config("0.6b")
+    return dataclasses.replace(
+        cfg,
+        model_type=model_type,
+        talker=dataclasses.replace(
+            cfg.talker, num_hidden_layers=2, hidden_size=128,
+            num_attention_heads=4, num_key_value_heads=2, head_dim=32,
+            intermediate_size=256, text_hidden_size=64, text_vocab_size=512,
+        ),
+        predictor=dataclasses.replace(
+            cfg.predictor, num_hidden_layers=2, hidden_size=64,
+            num_attention_heads=2, num_key_value_heads=1, head_dim=32,
+            intermediate_size=128,
+        ),
+        codec=dataclasses.replace(
+            cfg.codec, hidden_size=64, num_hidden_layers=1,
+            intermediate_size=128, num_attention_heads=2,
+            num_key_value_heads=2, head_dim=32,
+        ),
+    )
+
+
 def config_from_dict(d: dict) -> Qwen3TTSConfig:
     """Build a config from a (nested) plain dict, e.g. parsed config.json."""
 
