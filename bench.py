@@ -363,6 +363,17 @@ def main():
         if result is not None:
             print(json.dumps(result))
             return
+    # Total failure (e.g. the tunnel relay is down and every child hung in
+    # PJRT init): still print ONE parseable JSON line so the round record
+    # carries the diagnosis instead of being empty, then exit nonzero.
+    print(json.dumps({
+        "metric": f"stream_rtf_{args.model}_cs{args.chunk}",
+        "value": 0.0,
+        "unit": "x_realtime",
+        "vs_baseline": 0.0,
+        "error": "all attempts stalled or crashed (TPU tunnel unreachable?)",
+        "extras": {"attempts": len(attempts), "stall_secs": args.stall_secs},
+    }))
     raise SystemExit("bench failed: all attempts stalled or crashed")
 
 
