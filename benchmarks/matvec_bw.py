@@ -1,0 +1,141 @@
+"""Effective HBM bandwidth of the decode-critical matvec shapes.
+
+The AR decode step is a chain of [1, H] x [H, O] matvecs streaming every
+weight byte per frame (reference README.md:477-484 frames the same budget on
+GPU). RTF headroom analysis needs ONE number per shape: what fraction of the
+chip's ~819 GB/s does XLA actually sustain on a B=1 int8/bf16 matvec? If the
+answer is near peak, the decode gap vs the weight-streaming roofline is
+structural (scan overhead, attention, sampling) and a hand kernel can't help;
+if it is a small fraction, the matvec itself is the target.
+
+Shapes cover both model sizes' dominant terms:
+  MLP gate/up [H, I], MLP down [I, H], fused QKV, attn out, codec head.
+
+    QUANT=Q8_0 python benchmarks/matvec_bw.py
+Prints one JSON line per shape: ms/call, effective GB/s, plus a whole-layer
+chained variant (the real decode pattern: matvecs back-to-back with a data
+dependency, letting XLA overlap weight streams across ops).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def _timeit(fn, n=200, warmup=3):
+    import jax
+
+    for _ in range(warmup):
+        jax.block_until_ready(fn())
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(n):
+        out = fn()
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n * 1000.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from faster_qwen3_tts_tpu.ops import quant
+
+    quant_mode = os.environ.get("QUANT", "Q8_0")
+    n = int(os.environ.get("FQ3T_PROFILE_N", "200"))
+    rng = np.random.default_rng(0)
+
+    # (label, in_dim, out_dim) — decode-path matvec shapes for 0.6B and 1.7B.
+    shapes = [
+        ("0.6b_mlp_gateup", 1024, 6144),   # gate+up fused
+        ("0.6b_mlp_down", 3072, 1024),
+        ("0.6b_qkv", 1024, 3072),
+        ("1.7b_mlp_gateup", 2048, 12288),
+        ("1.7b_mlp_down", 6144, 2048),
+        ("1.7b_qkv", 2048, 6144),
+        ("codec_head", 2048, 3072),
+    ]
+
+    results = {}
+    for label, i_dim, o_dim in shapes:
+        w = rng.standard_normal((i_dim, o_dim), dtype=np.float32) * 0.02
+        if quant_mode == "Q8_0":
+            wq = quant.quantize_linear(w)
+            wq = jax.device_put(
+                quant.QuantizedLinear(
+                    q=jnp.asarray(wq.q), scale=jnp.asarray(wq.scale)
+                )
+            )
+            bytes_per_call = i_dim * o_dim + 4 * o_dim
+        else:
+            wq = jax.device_put(jnp.asarray(w, jnp.bfloat16))
+            bytes_per_call = 2 * i_dim * o_dim
+        x = jax.device_put(jnp.asarray(rng.standard_normal((1, i_dim)), jnp.bfloat16))
+
+        fn = jax.jit(lambda xx, ww: quant.dot(xx, ww))
+        ms = _timeit(lambda: fn(x, wq), n=n)
+        gbs = bytes_per_call / (ms / 1e3) / 1e9
+        results[label] = {"ms": round(ms, 4), "gb_s": round(gbs, 1)}
+        print(f"  {label}: {ms:.4f} ms  {gbs:.0f} GB/s", file=sys.stderr, flush=True)
+
+    # Chained whole-layer pattern (1.7B): qkv -> out -> gate/up -> down with a
+    # data dependency, n layers deep — measures whether XLA pipelines weight
+    # streaming ACROSS the chain the way the unrolled decode scan does.
+    H, I = 2048, 6144
+    L = 4
+    layer_ws = []
+    for li in range(L):
+        mk = lambda a, b: quant.quantize_linear(
+            rng.standard_normal((a, b), dtype=np.float32) * 0.02
+        )
+        if quant_mode == "Q8_0":
+            layer_ws.append(
+                {
+                    "qkv": jax.device_put(quant.QuantizedLinear(*map(jnp.asarray, mk(H, 3 * H)))),
+                    "o": jax.device_put(quant.QuantizedLinear(*map(jnp.asarray, mk(H, H)))),
+                    "gu": jax.device_put(quant.QuantizedLinear(*map(jnp.asarray, mk(H, 2 * I)))),
+                    "dn": jax.device_put(quant.QuantizedLinear(*map(jnp.asarray, mk(I, H)))),
+                }
+            )
+            layer_bytes = H * 3 * H + H * H + H * 2 * I + I * H
+        else:
+            layer_ws.append(
+                {
+                    "qkv": jax.device_put(jnp.asarray(rng.standard_normal((H, 3 * H)), jnp.bfloat16)),
+                    "o": jax.device_put(jnp.asarray(rng.standard_normal((H, H)), jnp.bfloat16)),
+                    "gu": jax.device_put(jnp.asarray(rng.standard_normal((H, 2 * I)), jnp.bfloat16)),
+                    "dn": jax.device_put(jnp.asarray(rng.standard_normal((I, H)), jnp.bfloat16)),
+                }
+            )
+            layer_bytes = 2 * (H * 3 * H + H * H + H * 2 * I + I * H)
+
+    def chain(xx, ws):
+        h = xx
+        for lw in ws:
+            a = quant.dot(h, lw["qkv"])[:, : H]
+            a = quant.dot(a.astype(jnp.bfloat16), lw["o"])
+            g = quant.dot(a.astype(jnp.bfloat16), lw["gu"])
+            g = (jax.nn.silu(g[:, :I].astype(jnp.float32)) * g[:, I:].astype(jnp.float32)).astype(jnp.bfloat16)
+            h = quant.dot(g, lw["dn"]).astype(jnp.bfloat16)
+        return h
+
+    chain_fn = jax.jit(lambda xx, ws: chain(xx, ws))
+    x = jax.device_put(jnp.asarray(rng.standard_normal((1, H)), jnp.bfloat16))
+    ms = _timeit(lambda: chain_fn(x, layer_ws), n=max(50, n // 4))
+    gbs = L * layer_bytes / (ms / 1e3) / 1e9
+    results[f"1.7b_chain_{L}layers"] = {"ms": round(ms, 4), "gb_s": round(gbs, 1)}
+    print(f"  chain x{L}: {ms:.4f} ms  {gbs:.0f} GB/s", file=sys.stderr, flush=True)
+
+    print(json.dumps({"metric": "matvec_bw", "quant": quant_mode, "results": results}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
