@@ -86,53 +86,57 @@ def main():
         results[label] = {"ms": round(ms, 4), "gb_s": round(gbs, 1)}
         print(f"  {label}: {ms:.4f} ms  {gbs:.0f} GB/s", file=sys.stderr, flush=True)
 
-    # Chained whole-layer pattern (1.7B): qkv -> out -> gate/up -> down with a
-    # data dependency, n layers deep — measures whether XLA pipelines weight
-    # streaming ACROSS the chain the way the unrolled decode scan does.
-    H, I = 2048, 6144
-    L = 4
-    layer_ws = []
-    for li in range(L):
-        mk = lambda a, b: quant.quantize_linear(
-            rng.standard_normal((a, b), dtype=np.float32) * 0.02
-        )
-        if quant_mode == "Q8_0":
-            layer_ws.append(
-                {
-                    "qkv": jax.device_put(quant.QuantizedLinear(*map(jnp.asarray, mk(H, 3 * H)))),
-                    "o": jax.device_put(quant.QuantizedLinear(*map(jnp.asarray, mk(H, H)))),
-                    "gu": jax.device_put(quant.QuantizedLinear(*map(jnp.asarray, mk(H, 2 * I)))),
-                    "dn": jax.device_put(quant.QuantizedLinear(*map(jnp.asarray, mk(I, H)))),
-                }
-            )
-            layer_bytes = H * 3 * H + H * H + H * 2 * I + I * H
-        else:
-            layer_ws.append(
-                {
-                    "qkv": jax.device_put(jnp.asarray(rng.standard_normal((H, 3 * H)), jnp.bfloat16)),
-                    "o": jax.device_put(jnp.asarray(rng.standard_normal((H, H)), jnp.bfloat16)),
-                    "gu": jax.device_put(jnp.asarray(rng.standard_normal((H, 2 * I)), jnp.bfloat16)),
-                    "dn": jax.device_put(jnp.asarray(rng.standard_normal((I, H)), jnp.bfloat16)),
-                }
-            )
-            layer_bytes = 2 * (H * 3 * H + H * H + H * 2 * I + I * H)
+    # IN-PROGRAM chained layer pass: lax.scan over L DISTINCT stacked layer
+    # weights with the activation carried — a synthetic talker decode step.
+    # This forces L sequential weight streams inside ONE executable, immune
+    # to the cross-dispatch overlap/caching that makes the single-matvec
+    # numbers above unphysical (>819 GB/s observed on repeated identical
+    # dispatches through the tunnel). L x bytes far exceeds VMEM, so ms/call
+    # divided into total weight bytes IS sustained HBM bandwidth.
+    L = int(os.environ.get("FQ3T_SCAN_LAYERS", "28"))
+    for label, H, I in (("0.6b", 1024, 3072), ("1.7b", 2048, 6144)):
+        unroll = int(os.environ.get("FQ3T_SCAN_UNROLL", "4"))
 
-    def chain(xx, ws):
-        h = xx
-        for lw in ws:
-            a = quant.dot(h, lw["qkv"])[:, : H]
-            a = quant.dot(a.astype(jnp.bfloat16), lw["o"])
-            g = quant.dot(a.astype(jnp.bfloat16), lw["gu"])
-            g = (jax.nn.silu(g[:, :I].astype(jnp.float32)) * g[:, I:].astype(jnp.float32)).astype(jnp.bfloat16)
-            h = quant.dot(g, lw["dn"]).astype(jnp.bfloat16)
-        return h
+        def mkstack(a, b):
+            w = rng.standard_normal((L, a, b), dtype=np.float32) * 0.02
+            if quant_mode == "Q8_0":
+                q = quant.quantize_linear(w)  # per-channel over axis -2
+                return jax.device_put(
+                    quant.QuantizedLinear(q=jnp.asarray(q.q), scale=jnp.asarray(q.scale))
+                )
+            return jax.device_put(jnp.asarray(w, jnp.bfloat16))
 
-    chain_fn = jax.jit(lambda xx, ws: chain(xx, ws))
-    x = jax.device_put(jnp.asarray(rng.standard_normal((1, H)), jnp.bfloat16))
-    ms = _timeit(lambda: chain_fn(x, layer_ws), n=max(50, n // 4))
-    gbs = L * layer_bytes / (ms / 1e3) / 1e9
-    results[f"1.7b_chain_{L}layers"] = {"ms": round(ms, 4), "gb_s": round(gbs, 1)}
-    print(f"  chain x{L}: {ms:.4f} ms  {gbs:.0f} GB/s", file=sys.stderr, flush=True)
+        stacks = {
+            "qkv": mkstack(H, 3 * H),
+            "o": mkstack(H, H),
+            "gu": mkstack(H, 2 * I),
+            "dn": mkstack(I, H),
+        }
+        wbytes = H * 3 * H + H * H + H * 2 * I + I * H
+        layer_bytes = wbytes if quant_mode == "Q8_0" else 2 * wbytes
+
+        def one_layer(h, lw):
+            a = quant.dot(h, lw["qkv"])[:, :H]
+            a = quant.dot(a, lw["o"])
+            g = quant.dot(a, lw["gu"])
+            g = (
+                jax.nn.silu(g[:, :I].astype(jnp.float32)) * g[:, I:].astype(jnp.float32)
+            ).astype(h.dtype)
+            return quant.dot(g, lw["dn"]), None
+
+        def chain(xx, ws):
+            h, _ = jax.lax.scan(one_layer, xx, ws, unroll=unroll)
+            return h
+
+        chain_fn = jax.jit(chain)
+        x = jax.device_put(jnp.asarray(rng.standard_normal((1, H)), jnp.bfloat16))
+        ms = _timeit(lambda: chain_fn(x, stacks), n=max(20, n // 10))
+        gbs = L * layer_bytes / (ms / 1e3) / 1e9
+        results[f"{label}_scan_{L}layers"] = {
+            "ms": round(ms, 4), "gb_s": round(gbs, 1), "ms_per_layer": round(ms / L, 4),
+        }
+        print(f"  {label} scan x{L} (unroll={unroll}): {ms:.4f} ms  {gbs:.0f} GB/s",
+              file=sys.stderr, flush=True)
 
     print(json.dumps({"metric": "matvec_bw", "quant": quant_mode, "results": results}), flush=True)
 

@@ -176,6 +176,9 @@ def _load_or_compile(d: str, sig: str, name: str, jit_fn, kwargs):
     path = _path(d, sig)
     if os.path.exists(path):
         try:
+            import time as _time
+
+            t0 = _time.perf_counter()
             with open(path, "rb") as fh:
                 payload, dynamic_names, n_dev = pickle.load(fh)
             # Executables are bound to a device list at load time; the
@@ -187,7 +190,8 @@ def _load_or_compile(d: str, sig: str, name: str, jit_fn, kwargs):
             )
             exe._fq3t_dynamic_names = frozenset(dynamic_names)
             exe._fq3t_from_cache = True
-            logger.info("aot cache HIT %s (%s)", name, sig)
+            logger.info("aot cache HIT %s (%s, load %.2fs)",
+                        name, sig, _time.perf_counter() - t0)
             return exe
         except Exception as e:  # corrupt/stale entry: recompile
             logger.warning("aot cache entry %s unreadable (%r); recompiling", path, e)

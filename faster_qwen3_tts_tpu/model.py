@@ -349,6 +349,7 @@ class FasterQwen3TTS:
             self.params, self.config, tie, mask, tth, tpe, self.max_seq_len,
             SamplingParams(), SamplingParams(), 2, seed=0, dtype=self.dtype,
         )
+        logger.info("warmup: session ready (%.1fs)", time.perf_counter() - t0)
         sess.prefill()
         logger.info("warmup: prefill compiled (%.1fs)", time.perf_counter() - t0)
         if chunk_sizes is None:
