@@ -40,13 +40,18 @@ def _timeit(fn, n=None, warmup=3):
 
     if n is None:
         n = int(os.environ.get("FQ3T_PROFILE_N", "200"))
-    for _ in range(warmup):
-        jax.block_until_ready(fn())
-    t0 = time.perf_counter()
     out = None
+    for _ in range(warmup):
+        out = fn()
+    # A REAL fetch, not block_until_ready: on this tunneled platform
+    # block_until_ready returns without forcing execution (matvec_bw.py
+    # measured chained scans "finishing" at 88 TB/s under it), so only an
+    # actual device->host transfer drains the dispatch pipeline.
+    np.asarray(jax.tree.leaves(out)[0])
+    t0 = time.perf_counter()
     for _ in range(n):
         out = fn()
-    jax.block_until_ready(out)
+    np.asarray(jax.tree.leaves(out)[0])
     return (time.perf_counter() - t0) / n * 1000.0
 
 
@@ -98,22 +103,40 @@ def main():
 
     # --- predictor loop alone ---
     # params as jit ARGUMENTS, never closure constants: captured weights get
-    # baked into the serialized HLO (HTTP 413 on remote compile services)
+    # baked into the serialized HLO (HTTP 413 on remote compile services).
+    # Every stage THREADS an evolving argument through the call chain (key,
+    # cache): repeated IDENTICAL dispatches are memoized by the remote
+    # runtime and report device times far above HBM peak (matvec_bw.py),
+    # so each call must differ from the last.
     pred_fn = jax.jit(
-        lambda pp, pi, k: predictor_lib.predict_codebooks(
-            pp, pcfg, pi, k, gen_lib.predictor_sampling()
+        lambda pp, pi, k: (
+            predictor_lib.predict_codebooks(pp, pcfg, pi, k, gen_lib.predictor_sampling()),
+            jax.random.fold_in(k, 1),
         )
     )
-    pred_ms = _timeit(lambda: pred_fn(pparams, pred_input, key))
+    pred_carry = {"k": key}
 
-    # --- talker decode step alone (cache not donated here: isolation timing) ---
+    def pred_step():
+        toks, pred_carry["k"] = pred_fn(pparams, pred_input, pred_carry["k"])
+        return toks
+
+    pred_ms = _timeit(pred_step)
+
+    # --- talker decode step alone: thread the UPDATED cache through so every
+    # call's arguments differ (cache not donated here: isolation timing) ---
     talk_fn = jax.jit(
         lambda tp, e, pos, rp, cache, lm: talker_lib.decode_step(tp, tcfg, e, pos, rp, cache, lm)
     )
+    talk_carry = {"cache": state.cache}
+
+    def talk_step():
+        h, talk_carry["cache"] = talk_fn(
+            tparams, embeds, state.pos, rope_pos, talk_carry["cache"], length_mask
+        )
+        return h
+
+    talk_ms = _timeit(talk_step)
     cache = state.cache
-    talk_ms = _timeit(
-        lambda: talk_fn(tparams, embeds, state.pos, rope_pos, cache, length_mask)[0]
-    )
 
     # --- codec head + sampling alone ---
     hidden = jax.block_until_ready(talk_fn(tparams, embeds, state.pos, rope_pos, cache, length_mask)[0])
@@ -122,17 +145,23 @@ def main():
     def _sample(tp, h, seen, k):
         logits = talker_lib.codec_logits(tp, h[:, 0, :])
         logits = apply_repetition_penalty(logits, seen, sampling.repetition_penalty)
-        return sample_logits(k, logits, sampling, suppress_mask=suppress)
+        return sample_logits(k, logits, sampling, suppress_mask=suppress), jax.random.fold_in(k, 1)
 
     sample_fn = jax.jit(_sample)
-    samp_ms = _timeit(lambda: sample_fn(tparams, hidden, state.seen, key))
+    samp_carry = {"k": key}
+
+    def samp_step():
+        tok, samp_carry["k"] = sample_fn(tparams, hidden, state.seen, samp_carry["k"])
+        return tok
+
+    samp_ms = _timeit(samp_step)
 
     # --- production fused chunk (per frame) ---
     def chunk_once():
         return sess.decode_chunk_async(chunk)
 
     sess.materialize(chunk_once())  # compile
-    fused_ms_frame = _timeit(chunk_once, n=10) / chunk
+    fused_ms_frame = _timeit(chunk_once, n=30) / chunk
 
     parts = pred_ms + talk_ms + samp_ms
     out = {

@@ -31,15 +31,23 @@ import numpy as np
 
 
 def _timeit(fn, n=200, warmup=3):
+    """Amortized per-call wall time with a REAL device->host fetch at the end.
+
+    On this tunneled platform `jax.block_until_ready` returns without forcing
+    execution (measured: 28-layer chained scans "complete" in 0.02 ms =
+    88 TB/s), so the pipeline must be drained by an actual fetch
+    (np.asarray). The single fetch RTT (~30 ms) divided by n is the noise
+    floor (~0.3 ms at n=100)."""
     import jax
 
-    for _ in range(warmup):
-        jax.block_until_ready(fn())
-    t0 = time.perf_counter()
     out = None
+    for _ in range(warmup):
+        out = fn()
+    np.asarray(jax.tree.leaves(out)[0])  # drain warmup before timing
+    t0 = time.perf_counter()
     for _ in range(n):
         out = fn()
-    jax.block_until_ready(out)
+    np.asarray(jax.tree.leaves(out)[0])
     return (time.perf_counter() - t0) / n * 1000.0
 
 
@@ -130,7 +138,18 @@ def main():
 
         chain_fn = jax.jit(chain)
         x = jax.device_put(jnp.asarray(rng.standard_normal((1, H)), jnp.bfloat16))
-        ms = _timeit(lambda: chain_fn(x, stacks), n=max(20, n // 10))
+
+        # Feed each call's output back as the next input: distinct arguments
+        # per dispatch (defeats any remote (program, args) execution
+        # memoization — observed: repeated IDENTICAL dispatches return in
+        # ~0 device time) and a true serialization chain across calls.
+        carry = {"x": x}
+
+        def step():
+            carry["x"] = chain_fn(carry["x"], stacks)
+            return carry["x"]
+
+        ms = _timeit(step, n=max(20, n // 10))
         gbs = L * layer_bytes / (ms / 1e3) / 1e9
         results[f"{label}_scan_{L}layers"] = {
             "ms": round(ms, 4), "gb_s": round(gbs, 1), "ms_per_layer": round(ms / L, 4),
