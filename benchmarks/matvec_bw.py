@@ -123,14 +123,30 @@ def main():
         wbytes = H * 3 * H + H * H + H * 2 * I + I * H
         layer_bytes = wbytes if quant_mode == "Q8_0" else 2 * wbytes
 
+        # FQ3T_MATVEC_VARIANT=reduce: formulate the matvec as an elementwise
+        # multiply + reduction over the input dim (VPU streaming) instead of
+        # dot_general (MXU). If the MXU path materializes the int8->bf16
+        # dequant as a separate bf16 copy, the reduce form — whose convert
+        # fuses trivially into the multiply pipeline — should stream the
+        # int8 bytes at a much higher effective rate.
+        variant = os.environ.get("FQ3T_MATVEC_VARIANT", "dot")
+
+        def qdot(h, lw):
+            if variant == "reduce" and isinstance(lw, quant.QuantizedLinear):
+                y = jnp.sum(
+                    h.reshape(-1)[:, None] * lw.q.astype(jnp.float32), axis=0
+                )
+                return (y * lw.scale.astype(jnp.float32).reshape(-1)).astype(h.dtype)[None, :]
+            return quant.dot(h, lw)
+
         def one_layer(h, lw):
-            a = quant.dot(h, lw["qkv"])[:, :H]
-            a = quant.dot(a, lw["o"])
-            g = quant.dot(a, lw["gu"])
+            a = qdot(h, lw["qkv"])[:, :H]
+            a = qdot(a, lw["o"])
+            g = qdot(a, lw["gu"])
             g = (
                 jax.nn.silu(g[:, :I].astype(jnp.float32)) * g[:, I:].astype(jnp.float32)
             ).astype(h.dtype)
-            return quant.dot(g, lw["dn"]), None
+            return qdot(g, lw["dn"]), None
 
         def chain(xx, ws):
             h, _ = jax.lax.scan(one_layer, xx, ws, unroll=unroll)
