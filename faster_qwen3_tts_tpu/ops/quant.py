@@ -127,6 +127,22 @@ def dot(x: jax.Array, w) -> jax.Array:
     if isinstance(w, QuantizedLinear4):
         return _dot4(x, w)
     if isinstance(w, QuantizedLinear):
+        if w.q.ndim == 2:
+            from . import matvec_pallas as mvp
+
+            if mvp.enabled():
+                lead = x.shape[:-1]
+                rows = 1
+                for d in lead:
+                    rows *= int(d)
+                if mvp.eligible(rows, x.shape[-1], w.q.shape[-1]):
+                    y2 = mvp.qmatvec(
+                        x.reshape(rows, x.shape[-1]),
+                        w.q,
+                        w.scale.reshape(1, w.scale.shape[-1]),
+                        interpret=jax.default_backend() != "tpu",
+                    )
+                    return y2.reshape(*lead, w.q.shape[-1])
         y = jax.lax.dot_general(
             x,
             w.q.astype(x.dtype),
