@@ -88,8 +88,26 @@ def main():
             bytes_per_call = 2 * i_dim * o_dim
         x = jax.device_put(jnp.asarray(rng.standard_normal((1, i_dim)), jnp.bfloat16))
 
-        fn = jax.jit(lambda xx, ww: quant.dot(xx, ww))
-        ms = _timeit(lambda: fn(x, wq), n=n)
+        # Feedback perturbation: each call's x depends on the previous call's
+        # y, so no two dispatches carry identical (program, args) — defeating
+        # the remote dispatch memoization that yields unphysical >819 GB/s
+        # readings on repeated identical calls (same defense as the chained
+        # scan below; ADVICE r3 #3). The extra mean+scale is O(o_dim) FLOPs,
+        # negligible against the weight stream.
+        def step_fn(xx, ww):
+            y = quant.dot(xx, ww)
+            x_next = xx * (1 + 1e-6 * jnp.mean(y).astype(xx.dtype))
+            return y, x_next
+
+        fn = jax.jit(step_fn)
+
+        state = {"x": x}
+
+        def one_call():
+            y, state["x"] = fn(state["x"], wq)
+            return y
+
+        ms = _timeit(one_call, n=n)
         gbs = bytes_per_call / (ms / 1e3) / 1e9
         results[label] = {"ms": round(ms, 4), "gb_s": round(gbs, 1)}
         print(f"  {label}: {ms:.4f} ms  {gbs:.0f} GB/s", file=sys.stderr, flush=True)

@@ -93,6 +93,15 @@ def _leaf_sig(leaf) -> str:
     return repr(leaf)
 
 
+# Env flags that change what gets TRACED (and therefore what the compiled
+# executable computes) without changing any input shape/dtype/static. They
+# must be part of the cache signature: toggling FQ3T_PALLAS_MATVEC between
+# runs would otherwise silently load an executable compiled with the other
+# matvec path — same I/O signature, so the call-time eviction fallback never
+# fires (ADVICE r3 #1).
+_TRACE_ENV_FLAGS = ("FQ3T_PALLAS_MATVEC", "FQ3T_DISABLE_PALLAS")
+
+
 def _signature(name: str, kwargs: Dict[str, Any]) -> str:
     import jax
 
@@ -102,6 +111,8 @@ def _signature(name: str, kwargs: Dict[str, Any]) -> str:
     h.update(_SCHEMA.encode())
     h.update(jax.__version__.encode())
     h.update(str(pkg_version).encode())
+    for flag in _TRACE_ENV_FLAGS:
+        h.update(f"{flag}={os.environ.get(flag, '')}".encode())
     try:
         dev = jax.devices()
         h.update(f"{dev[0].device_kind}x{len(dev)}".encode())

@@ -41,14 +41,18 @@ def enabled() -> bool:
 
 
 def _pick_bi(I: int) -> int:
-    for bi in (512, 256, 128, 64, 32):
+    # The x BlockSpec is (B, BI): BI is a LANE dim, so it must be a multiple
+    # of 128 (Mosaic lane tiling) — BI of 32/64 would satisfy the int8 VMEM
+    # sublane constraint but violate the lane constraint and fail to compile
+    # on real TPU (ADVICE r3 #2).
+    for bi in (512, 256, 128):
         if I % bi == 0:
             return bi
     return 0
 
 
 def eligible(x_rows: int, I: int, O: int) -> bool:
-    return x_rows <= 16 and I % 32 == 0 and O % 128 == 0 and _pick_bi(I) > 0
+    return x_rows <= 16 and O % 128 == 0 and _pick_bi(I) > 0
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
