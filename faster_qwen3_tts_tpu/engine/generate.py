@@ -494,6 +494,7 @@ def fast_generate_streaming_fused(
     context_frames: int = 24,
     fuse_first_chunk: bool = False,
     first_chunk_size: Optional[int] = None,
+    ref_codes: Optional[np.ndarray] = None,
     subtalker_dosample: Optional[bool] = None,
     subtalker_top_k: Optional[int] = None,
     subtalker_top_p: Optional[float] = None,
@@ -508,6 +509,17 @@ def fast_generate_streaming_fused(
     reference's phase-1 accumulated decode, model.py:1085-1114). Set
     fuse_first_chunk=False when the caller must prepend ICL reference codes
     to the very first vocoder call.
+
+    ref_codes: ICL reference codec tokens [R, 16]. With R >= context_frames
+    the reference tail IS the vocoder's left-context window from chunk 0 on,
+    so EVERY chunk — including the first — runs the steady-state fused
+    executable (ctx=context_frames): one dispatch + one fetch, no host codec
+    on the TTFA path. This is the TPU-native answer to the reference's ICL
+    prepend-then-trim phase 1 (reference model.py:919-923, 1085-1114): the
+    window emission [ctx*up - D, (ctx+chunk)*up - D) excludes the reference
+    audio by construction instead of by proportional trim, and matches what
+    the non-ICL stream converges to at steady state. Short references
+    (R < context_frames) keep the host prepend path (fuse_first_chunk=False).
 
     first_chunk_size (default = chunk_size): a SMALLER first chunk cuts TTFA
     by the skipped frames' decode time — the first audio block shrinks
@@ -541,6 +553,14 @@ def fast_generate_streaming_fused(
     # one fetch). FQ3T_FUSED_VOCODE=0 opts out for deployments where the
     # extra codec-window compiles are not worth it.
     fused_enabled = os.environ.get("FQ3T_FUSED_VOCODE", "1") != "0"
+    # ICL with a long-enough reference: the ref tail provides the full
+    # steady-state window from frame 0, so ctx is context_frames for EVERY
+    # chunk — one (decode, vocode) executable pair, warm from warmup().
+    icl_fused = (
+        fused_enabled
+        and ref_codes is not None
+        and ref_codes.shape[0] >= context_frames
+    )
 
     def dispatch(idx: int):
         """Queue the chunk with index `idx` on the device.
@@ -557,6 +577,16 @@ def fast_generate_streaming_fused(
         cs = first_cs if total == 0 else chunk_size
         if not fused_enabled:
             return ("plain", sess.decode_chunk_async(cs), cs)
+        if icl_fused:
+            ctx = context_frames
+            if sess.hist is None or sess.hist.shape[1] != ctx:
+                src = (
+                    np.concatenate([ref_codes] + history, axis=0)
+                    if history
+                    else np.asarray(ref_codes)
+                )
+                sess.set_codec_history(src, ctx)
+            return ("fused", sess.decode_chunk_fused_async(cs, ctx), cs)
         if total == 0:
             if fuse_first_chunk:
                 return ("fused0", sess.decode_chunk_fused_async(cs, 0), cs)

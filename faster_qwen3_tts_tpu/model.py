@@ -387,6 +387,13 @@ class FasterQwen3TTS:
                     flat = sess.decode_chunk_fused_async(chunk, ctx)
                     np.asarray(flat)  # block: serialize compiles
                     logger.info("warmup: fused(%d, ctx=%d) compiled (%.1fs)", chunk, ctx, time.perf_counter() - t0)
+                if first != chunk:
+                    # ICL-fused chunk 0: (first_chunk_size, full window) — the
+                    # reference tail is the window, so the very first ICL
+                    # dispatch uses this executable (engine ref_codes path).
+                    sess.set_codec_history(np.zeros((max_ctx, ncg), np.int32), max_ctx)
+                    np.asarray(sess.decode_chunk_fused_async(first, max_ctx))
+                    logger.info("warmup: fused(%d, ctx=%d) compiled (%.1fs)", first, max_ctx, time.perf_counter() - t0)
         else:
             # Host codec bucket (regime-2 accumulated decode, first buckets).
             self._speech_tokenizer.decode(
@@ -810,9 +817,12 @@ class FasterQwen3TTS:
                 subtalker_top_p=subtalker_top_p, subtalker_temperature=subtalker_temperature,
                 # The ctx=0 fused first chunk is the TTFA path (audio comes
                 # out of the same device program as the tokens, one fetch).
-                # ICL must keep the host path: the first vocode prepends the
-                # reference codes (reference model.py:919-923).
+                # ICL with >=24 reference frames fuses too (the ref tail is
+                # the vocoder window from chunk 0 — engine ref_codes path);
+                # only SHORT references keep the host prepend-and-trim path
+                # (reference model.py:919-923).
                 fuse_first_chunk=ref_codes is None,
+                ref_codes=ref_codes,
             )
         yield from self._stream_decode(stream, chunk_size, ref_codes)
 
