@@ -193,6 +193,24 @@ def save_pretrained(path: str, params: Dict[str, Any], cfg: Qwen3TTSConfig) -> N
         json.dump(_config_to_dict(cfg), f, indent=2)
 
 
+def is_own_checkpoint(path: str) -> bool:
+    """True if `path` holds this framework's save_pretrained format.
+
+    Both our format and a single-file upstream HF checkpoint can be named
+    model.safetensors; the discriminator is the key style (ours uses
+    '/'-separated pytree paths, upstream uses '.'-separated module paths).
+    """
+    f = os.path.join(path, "model.safetensors")
+    if not os.path.exists(f):
+        return False
+    from safetensors import safe_open
+
+    with safe_open(f, framework="pt", device="cpu") as h:
+        for k in h.keys():
+            return "/" in k
+    return False
+
+
 def load_pretrained(path: str):
     """Load a checkpoint saved by save_pretrained -> (params, cfg)."""
     from safetensors.numpy import load_file

@@ -222,3 +222,46 @@ def test_prompt_items_list(base_model):
         max_new_tokens=MAXNEW, do_sample=False, seed=0,
     )
     assert audio[0].size > 1000
+
+
+def test_cached_reference_kwargs_accept_and_reject(base_model, xvec_prompt):
+    """The jax-backend voice-clone methods accept the native-backend
+    cached-reference kwargs in their signatures and reject non-None values at
+    call time — the reference's torch-backend contract for its GGML-only
+    kwargs (reference model.py:93-104, 825-873, 868-873)."""
+    import inspect
+
+    for name in ("generate_voice_clone", "generate_voice_clone_streaming"):
+        params = inspect.signature(getattr(base_model, name)).parameters
+        for kw in ("ref_spk", "ref_rvq", "ref_spk_emb", "ref_codes"):
+            assert kw in params, f"{name} missing {kw}"
+            assert params[kw].default is None
+
+    with pytest.raises(NotImplementedError, match="backend='native'"):
+        base_model.generate_voice_clone(
+            "hi", "English", voice_clone_prompt=xvec_prompt, ref_spk="/tmp/x.spk"
+        )
+    with pytest.raises(NotImplementedError, match="backend='native'"):
+        next(iter(base_model.generate_voice_clone_streaming(
+            "hi", "English", voice_clone_prompt=xvec_prompt,
+            ref_codes=np.zeros((4, 16), np.int32),
+        )))
+
+
+def test_signature_superset_of_reference_contract(base_model):
+    """Every parameter of the reference's generate_voice_clone[_streaming]
+    exists in our methods (SURVEY §2.1 C2 signature parity); ours may add
+    TPU-specific extras (seed, first_chunk_size, subtalker_*)."""
+    import inspect
+
+    reference_clone = [
+        "text", "language", "ref_audio", "ref_text", "max_new_tokens",
+        "min_new_tokens", "temperature", "top_k", "top_p", "do_sample",
+        "repetition_penalty", "xvec_only", "non_streaming_mode",
+        "append_silence", "instruct", "ref_spk", "ref_rvq", "ref_spk_emb",
+        "ref_codes", "voice_clone_prompt",
+    ]
+    for name in ("generate_voice_clone", "generate_voice_clone_streaming"):
+        have = set(inspect.signature(getattr(base_model, name)).parameters)
+        missing = [p for p in reference_clone if p not in have]
+        assert not missing, f"{name} missing reference params: {missing}"
