@@ -186,12 +186,13 @@ class SpeakerEncoderConfig:
     The reference consumes this via `create_voice_clone_prompt(...)` whose
     prompt items carry a 2048-d bf16 `ref_spk_embedding`
     (reference README.md:500, model.py:429-451). The architecture is the
-    public ECAPA-TDNN speaker-verification recipe (Desplanques et al. 2020):
-    TDNN stem, 3 SE-Res2Net blocks (dilations 2/3/4), multi-layer feature
-    aggregation, channel-wise attentive statistics pooling. The 2048-d
-    embedding the upstream prompt carries is exactly the mean||std stats
-    width of a 1024-channel pooling layer; here mfa_dim/2 + a linear keeps
-    the width configurable.
+    PUBLIC Qwen ECAPA module (transformers qwen2_5_omni
+    `ECAPA_TimeDelayNet`, numerically matched in
+    tests/test_encoder_torch_parity.py): reflect-padded TDNN stem,
+    SE-Res2Net blocks (dilations 2/3/4), multi-layer feature aggregation
+    (requires mfa_dim == num_blocks * channels — the MFA input is the
+    concat of the block outputs), channel-wise attentive statistics
+    pooling, k=1-conv fc to embedding_dim, no norms anywhere.
     """
 
     mel_bins: int = 80

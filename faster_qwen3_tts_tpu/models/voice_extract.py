@@ -9,12 +9,14 @@ family (torch-parity-tested in tests/test_encoder_torch_parity.py):
 
 - Mel frontend: host-side numpy STFT (runs once per voice; results cached by
   the model layer, reference model.py:424-427).
-- Speaker encoder: **ECAPA-TDNN** (Desplanques et al., Interspeech 2020) —
-  the standard speaker-verification x-vector architecture: Conv1d/TDNN stem,
+- Speaker encoder: **the public Qwen ECAPA** (transformers qwen2_5_omni
+  `ECAPA_TimeDelayNet` — ECAPA-TDNN, Desplanques et al. 2020), matched
+  module-for-module and numerically validated against that torch class in
+  tests/test_encoder_torch_parity.py: reflect-padded Conv1d/TDNN stem,
   SE-Res2Net blocks at dilations 2/3/4, multi-layer feature aggregation,
-  channel-wise attentive statistics pooling (masked), BatchNorm + linear to
-  the 2048-d embedding the upstream prompt items carry (reference
-  README.md:500).
+  channel-wise attentive statistics pooling (masked here so bucket padding
+  is exact), k=1-conv fc to the 2048-d embedding the upstream prompt items
+  carry (reference README.md:500).
 - Codec encoder: the structural **mirror of the Code2Wav decoder** that is
   numerically validated against torch in tests/test_hf_import.py — SEANet-
   style strided causal conv blocks with snake-beta residual units reversing
@@ -101,14 +103,7 @@ def mel_spectrogram(
 
 def _tdnn_init(rng, cin, cout, k, np_dtype=np.float32):
     w = rng.standard_normal((k, cin, cout), dtype=np.float32) / math.sqrt(cin * k)
-    return {
-        "w": np.asarray(w, np_dtype),
-        "b": np.zeros(cout, np_dtype),
-        "bn_g": np.ones(cout, np_dtype),
-        "bn_b": np.zeros(cout, np_dtype),
-        "bn_m": np.zeros(cout, np_dtype),
-        "bn_v": np.ones(cout, np_dtype),
-    }
+    return {"w": np.asarray(w, np_dtype), "b": np.zeros(cout, np_dtype)}
 
 
 def init_speaker_params(seed: int, cfg: SpeakerEncoderConfig, dtype=jnp.float32, rng=None) -> Dict:
@@ -134,57 +129,64 @@ def init_speaker_params(seed: int, cfg: SpeakerEncoderConfig, dtype=jnp.float32,
     params["mfa"] = _tdnn_init(rng, cfg.num_blocks * C, cfg.mfa_dim, 1)
     params["att_tdnn"] = _tdnn_init(rng, 3 * cfg.mfa_dim, cfg.attention_channels, 1)
     params["att_proj"] = lin(cfg.attention_channels, cfg.mfa_dim)
-    params["stats_bn"] = {
-        "bn_g": np.ones(2 * cfg.mfa_dim, np.float32),
-        "bn_b": np.zeros(2 * cfg.mfa_dim, np.float32),
-        "bn_m": np.zeros(2 * cfg.mfa_dim, np.float32),
-        "bn_v": np.ones(2 * cfg.mfa_dim, np.float32),
-    }
     params["out"] = lin(2 * cfg.mfa_dim, cfg.embedding_dim)
     return params
 
 
-_BN_EPS = 1e-5
+_STAT_EPS = 1e-12  # public module's std clamp (ECAPA AttentiveStatisticsPooling.eps)
 
 
-def _bn(p, x, prefix="bn"):
-    """Inference-mode BatchNorm1d over the channel (last) axis."""
-    g, b = p[f"{prefix}_g"], p[f"{prefix}_b"]
-    m, v = p[f"{prefix}_m"], p[f"{prefix}_v"]
-    xf = x.astype(jnp.float32)
-    y = (xf - m) * jax.lax.rsqrt(v.astype(jnp.float32) + _BN_EPS) * g + b
-    return y.astype(x.dtype)
+def _reflect_pad(x: jax.Array, length: jax.Array, pad: int) -> jax.Array:
+    """Length-aware reflect-"same" padding: [B,T,C] -> [B,T+2*pad,C].
+
+    The public ECAPA (transformers qwen2_5_omni ECAPA_TimeDelayNet) runs
+    every conv with padding="same", padding_mode="reflect" on EXACT-length
+    input. This framework bucket-pads for static shapes; a plain zero or
+    buffer-edge reflect pad would make the last `pad` valid conv outputs
+    read zeros/garbage where upstream reads reflected frames. One gather in
+    original coordinates builds the exact reflect extension of the VALID
+    signal (position t -> x[2*length-2-t] beyond it, x[-t] before it), so
+    valid outputs are bit-exact vs the unpadded torch forward at any bucket
+    size (pooled statistics mask the rest)."""
+    T = x.shape[1]
+    t = jnp.arange(-pad, T + pad)[None, :]
+    L = length[:, None]
+    src = jnp.where(t < 0, -t, jnp.where(t < L, t, jnp.clip(2 * L - 2 - t, 0, T - 1)))
+    return jnp.take_along_axis(x, src[:, :, None], axis=1)
 
 
-def _tdnn(p, x, dilation=1, activation=True):
-    """TDNN block: same-padded dilated Conv1d -> ReLU -> BatchNorm.
-    x: [B, T, Cin] -> [B, T, Cout]."""
+def _tdnn(p, x, length, dilation=1):
+    """Public TimeDelayNetBlock: reflect-"same" dilated Conv1d -> ReLU
+    (no norm — the transformers module has none). x: [B,T,Cin] -> [B,T,Cout]."""
     w = p["w"]
     k = w.shape[0]
     pad = (k - 1) * dilation // 2
+    if pad:
+        x = _reflect_pad(x, length, pad)
     y = jax.lax.conv_general_dilated(
-        x, w, (1,), [(pad, pad)], rhs_dilation=(dilation,),
+        x, w, (1,), [(0, 0)], rhs_dilation=(dilation,),
         dimension_numbers=("NWC", "WIO", "NWC"), preferred_element_type=jnp.float32,
     )
-    y = (y + p["b"]).astype(x.dtype)
-    if activation:
-        y = jax.nn.relu(y)
-    return _bn(p, y)
+    return jax.nn.relu((y + p["b"]).astype(x.dtype))
 
 
-def _se_res2_block(p, x, dilation, scale, mask):
-    """SE-Res2Net block: tdnn1 -> Res2 dilated convs -> tdnn2 -> SE -> +x."""
-    h = _tdnn(p["tdnn1"], x)
-    # Res2Net: hierarchical splits; y_0 = x_0, y_i = conv_i(x_i + y_{i-1})
+def _se_res2_block(p, x, length, dilation, scale, mask):
+    """Public SqueezeExcitationRes2NetBlock: tdnn1 -> Res2Net -> tdnn2 -> SE -> +x."""
+    h = _tdnn(p["tdnn1"], x, length)
+    # Public Res2Net: y_0 = x_0 (pass-through), y_1 = conv_0(x_1) with NO
+    # addition, y_i = conv_{i-1}(x_i + y_{i-1}) for i >= 2.
     parts = jnp.split(h, scale, axis=-1)
     outs = [parts[0]]
-    y = parts[0]
+    y = None
     for i in range(1, scale):
-        y = _tdnn(p["res2"][i - 1], parts[i] + y, dilation=dilation)
+        inp = parts[i] if y is None else parts[i] + y
+        y = _tdnn(p["res2"][i - 1], inp, length, dilation=dilation)
         outs.append(y)
     h = jnp.concatenate(outs, axis=-1)
-    h = _tdnn(p["tdnn2"], h)
-    # Squeeze-excitation with masked time mean
+    h = _tdnn(p["tdnn2"], h, length)
+    # Squeeze-excitation. The public module means over the full time axis
+    # (it always runs unpadded); the masked mean below equals it at exact
+    # length and keeps bucket padding out of the statistic.
     denom = jnp.maximum(jnp.sum(mask, axis=1, keepdims=True), 1.0)  # [B,1]
     s = jnp.sum(h * mask[..., None], axis=1) / denom  # [B, C]
     w1, b1 = p["se1"]
@@ -198,40 +200,42 @@ def _se_res2_block(p, x, dilation, scale, mask):
 def speaker_forward(params, cfg: SpeakerEncoderConfig, mel: jax.Array, mask: jax.Array) -> jax.Array:
     """mel [B, T, n_mels], mask [B, T] (1=valid) -> x-vector [B, embedding_dim].
 
-    The full ECAPA-TDNN forward, inference mode. Padded frames are excluded
-    from every statistic (SE means, attention softmax, pooled mean/std), so
-    bucket padding cannot change the embedding."""
-    h1 = _tdnn(params["in"], mel, dilation=1)
+    Forward of the PUBLIC Qwen speaker encoder (transformers
+    qwen2_5_omni.modeling ECAPA_TimeDelayNet), numerically validated against
+    that torch class in tests/test_encoder_torch_parity.py. Padded frames
+    are excluded from every statistic (SE means, attention softmax, pooled
+    mean/std) and conv edges use the reflect-continuation fix, so bucket
+    padding cannot change the embedding."""
+    length = jnp.sum(mask, axis=1).astype(jnp.int32)  # [B]
+    h1 = _tdnn(params["in"], mel, length, dilation=1)
     feats = []
     h = h1
     for i in range(cfg.num_blocks):
-        h = _se_res2_block(params[f"block{i}"], h, i + 2, cfg.res2net_scale, mask)
+        h = _se_res2_block(params[f"block{i}"], h, length, i + 2, cfg.res2net_scale, mask)
         feats.append(h)
-    h = _tdnn(params["mfa"], jnp.concatenate(feats, axis=-1))  # [B, T, mfa]
+    h = _tdnn(params["mfa"], jnp.concatenate(feats, axis=-1), length)  # [B, T, mfa]
 
-    # Channel-wise attentive statistics pooling with global context.
+    # Channel-wise attentive statistics pooling with global context
+    # (public AttentiveStatisticsPooling; eps and op order mirrored).
     denom = jnp.maximum(jnp.sum(mask, axis=1, keepdims=True), 1.0)  # [B,1]
     m = mask[..., None]
     mean_g = jnp.sum(h * m, axis=1) / denom  # [B, mfa]
     var_g = jnp.sum(jnp.square(h - mean_g[:, None, :]) * m, axis=1) / denom
-    std_g = jnp.sqrt(jnp.maximum(var_g, 1e-4))
-    T = h.shape[1]
+    std_g = jnp.sqrt(jnp.maximum(var_g, _STAT_EPS))
     ctx = jnp.concatenate(
         [h, jnp.broadcast_to(mean_g[:, None, :], h.shape),
          jnp.broadcast_to(std_g[:, None, :], h.shape)], axis=-1
     )  # [B, T, 3*mfa]
-    a = jnp.tanh(_tdnn(params["att_tdnn"], ctx))
+    a = jnp.tanh(_tdnn(params["att_tdnn"], ctx, length))
     aw, ab = params["att_proj"]
     e = jnp.dot(a, aw, preferred_element_type=jnp.float32) + ab  # [B, T, mfa]
     e = jnp.where(m > 0, e, -1e30)
     alpha = jax.nn.softmax(e, axis=1)  # masked softmax over time, per channel
     mean = jnp.sum(alpha * h.astype(jnp.float32), axis=1)
     var = jnp.sum(alpha * jnp.square(h.astype(jnp.float32) - mean[:, None, :]), axis=1)
-    stats = jnp.concatenate([mean, jnp.sqrt(jnp.maximum(var, 1e-4))], axis=-1)
-    stats = _bn(params["stats_bn"], stats)
+    stats = jnp.concatenate([mean, jnp.sqrt(jnp.maximum(var, _STAT_EPS))], axis=-1)
     ow, ob = params["out"]
-    emb = jnp.dot(stats, ow, preferred_element_type=jnp.float32) + ob
-    return emb / jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-8)
+    return jnp.dot(stats, ow, preferred_element_type=jnp.float32) + ob
 
 
 # Backwards-compat alias (older tests/benches referenced the private name).

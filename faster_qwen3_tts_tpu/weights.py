@@ -405,7 +405,11 @@ class _Importer:
             self.missing.extend(n for n, v in ((w_name, w), (b_name, b)) if v is None)
             return
         cur_w, cur_b = dst[key]
-        if w.ndim == 3:
+        if w.ndim == 3 and cur_w.ndim == 2 and w.shape[-1] == 1:
+            # torch k=1 Conv1d [out, in, 1] used as a linear (ECAPA se_block
+            # conv1/conv2, asp.conv, fc) -> this framework's [in, out]
+            w = w[:, :, 0].T
+        elif w.ndim == 3:
             w = np.transpose(w, (2, 1, 0))
         elif w.ndim == 2 and tuple(cur_w.shape) != tuple(w.shape):
             w = w.T
@@ -518,23 +522,23 @@ def _import_codec(imp: _Importer, c: Dict, cfg: Qwen3TTSConfig):
 
 
 def _put_tdnn(imp: _Importer, dst: Dict, base: str):
-    """One ECAPA TDNNBlock: Conv1d + BatchNorm1d (6 tensors)."""
+    """One public TimeDelayNetBlock: Conv1d weight + bias (no norm)."""
     imp.put(dst, "w", f"{base}.conv.weight", "conv")
     imp.put(dst, "b", f"{base}.conv.bias")
-    imp.put(dst, "bn_g", f"{base}.norm.weight")
-    imp.put(dst, "bn_b", f"{base}.norm.bias")
-    imp.put(dst, "bn_m", f"{base}.norm.running_mean")
-    imp.put(dst, "bn_v", f"{base}.norm.running_var")
 
 
 def _import_speaker_encoder(imp: _Importer, s: Dict, cfg: Qwen3TTSConfig):
-    """ECAPA-TDNN speaker encoder (the public x-vector architecture; upstream
-    produces the 2048-d ref_spk_embedding, reference README.md:500).
-    Member names follow the standard ECAPA module layout (blocks.0 stem,
-    SE-Res2Net blocks, mfa, asp attention, fc); `_find_prefix` accepts any
-    root carrying those members."""
+    """ECAPA speaker encoder, tensor names of the PUBLIC Qwen module
+    (transformers qwen2_5_omni ECAPA_TimeDelayNet — Qwen's own x-vector
+    encoder; upstream qwen_tts produces the 2048-d ref_spk_embedding this
+    feeds, reference README.md:500). Layout validated numerically against
+    that torch class in tests/test_encoder_torch_parity.py: blocks.0 stem,
+    SE-Res2Net blocks (se_block.conv1/conv2 k=1 convs), mfa, asp.tdnn +
+    asp.conv attention, fc k=1 conv. `_find_prefix` accepts any root
+    carrying those members ("spk_encoder." in qwen2_5_omni's DiT,
+    "speaker_encoder." flat, ...)."""
     sc = cfg.speaker_encoder
-    root = _find_prefix(imp.raw, "asp.attention.weight", hint="speaker") or "speaker_encoder."
+    root = _find_prefix(imp.raw, "asp.tdnn.conv.weight", hint="spk") or "speaker_encoder."
     _put_tdnn(imp, s["in"], f"{root}blocks.0")
     for i in range(sc.num_blocks):
         blk = s[f"block{i}"]
@@ -543,16 +547,12 @@ def _import_speaker_encoder(imp: _Importer, s: Dict, cfg: Qwen3TTSConfig):
         for j in range(sc.res2net_scale - 1):
             _put_tdnn(imp, blk["res2"][j], f"{base}.res2net_block.blocks.{j}")
         _put_tdnn(imp, blk["tdnn2"], f"{base}.tdnn2")
-        imp.put_pair(blk, "se1", (f"{base}.se_block.fc1.weight", f"{base}.se_block.fc1.bias"))
-        imp.put_pair(blk, "se2", (f"{base}.se_block.fc2.weight", f"{base}.se_block.fc2.bias"))
+        imp.put_pair(blk, "se1", (f"{base}.se_block.conv1.weight", f"{base}.se_block.conv1.bias"))
+        imp.put_pair(blk, "se2", (f"{base}.se_block.conv2.weight", f"{base}.se_block.conv2.bias"))
     _put_tdnn(imp, s["mfa"], f"{root}mfa")
     _put_tdnn(imp, s["att_tdnn"], f"{root}asp.tdnn")
-    imp.put_pair(s, "att_proj", (f"{root}asp.attention.weight", f"{root}asp.attention.bias"))
-    bn = s["stats_bn"]
-    imp.put(bn, "bn_g", f"{root}asp_norm.weight")
-    imp.put(bn, "bn_b", f"{root}asp_norm.bias")
-    imp.put(bn, "bn_m", f"{root}asp_norm.running_mean")
-    imp.put(bn, "bn_v", f"{root}asp_norm.running_var")
+    imp.put_pair(s, "att_proj", (f"{root}asp.conv.weight", f"{root}asp.conv.bias"))
+    imp.put_pair(s, "out", (f"{root}fc.weight", f"{root}fc.bias"))
     imp.put_pair(s, "out", (f"{root}fc.weight", f"{root}fc.bias"))
 
 
@@ -808,8 +808,9 @@ def _leaf_count(submodel: str, cfg: Qwen3TTSConfig) -> int:
     tolerance check in optional submodels)."""
     if submodel == "speaker_encoder":
         sc = cfg.speaker_encoder
-        per_block = 6 + (sc.res2net_scale - 1) * 6 + 6 + 4  # tdnn1+res2+tdnn2+se
-        return 6 + sc.num_blocks * per_block + 6 + 6 + 2 + 4 + 2
+        # each TDNN block is conv w+b (no norm in the public module)
+        per_block = 2 + (sc.res2net_scale - 1) * 2 + 2 + 4  # tdnn1+res2+tdnn2+se
+        return 2 + sc.num_blocks * per_block + 2 + 2 + 2 + 2  # stem+mfa+asp.tdnn+asp.conv+fc
     if submodel == "codec_encoder":
         ccfg = cfg.codec
         nb = len(ccfg.upsample_rates)
@@ -920,14 +921,11 @@ def export_hf_layout(params: Dict[str, Any], cfg: Qwen3TTSConfig, path: str) -> 
         def tdnn(td, base):
             out[f"{base}.conv.weight"] = rev(td["w"], "conv")
             out[f"{base}.conv.bias"] = rev(td["b"])
-            out[f"{base}.norm.weight"] = rev(td["bn_g"])
-            out[f"{base}.norm.bias"] = rev(td["bn_b"])
-            out[f"{base}.norm.running_mean"] = rev(td["bn_m"])
-            out[f"{base}.norm.running_var"] = rev(td["bn_v"])
 
-        def pair(t, base):
+        def pair_as_conv1(t, base):
+            # this framework's linear [in, out] -> torch k=1 Conv1d [out, in, 1]
             w, b = t
-            out[f"{base}.weight"] = rev(w, "lin")
+            out[f"{base}.weight"] = rev(w, "lin")[:, :, None]
             out[f"{base}.bias"] = rev(b)
 
         tdnn(s["in"], f"{root}blocks.0")
@@ -938,17 +936,12 @@ def export_hf_layout(params: Dict[str, Any], cfg: Qwen3TTSConfig, path: str) -> 
             for j, td in enumerate(blk["res2"]):
                 tdnn(td, f"{base}.res2net_block.blocks.{j}")
             tdnn(blk["tdnn2"], f"{base}.tdnn2")
-            pair(blk["se1"], f"{base}.se_block.fc1")
-            pair(blk["se2"], f"{base}.se_block.fc2")
+            pair_as_conv1(blk["se1"], f"{base}.se_block.conv1")
+            pair_as_conv1(blk["se2"], f"{base}.se_block.conv2")
         tdnn(s["mfa"], f"{root}mfa")
         tdnn(s["att_tdnn"], f"{root}asp.tdnn")
-        pair(s["att_proj"], f"{root}asp.attention")
-        bn = s["stats_bn"]
-        out[f"{root}asp_norm.weight"] = rev(bn["bn_g"])
-        out[f"{root}asp_norm.bias"] = rev(bn["bn_b"])
-        out[f"{root}asp_norm.running_mean"] = rev(bn["bn_m"])
-        out[f"{root}asp_norm.running_var"] = rev(bn["bn_v"])
-        pair(s["out"], f"{root}fc")
+        pair_as_conv1(s["att_proj"], f"{root}asp.conv")
+        pair_as_conv1(s["out"], f"{root}fc")
 
     if "codec_encoder" in params:
         e = params["codec_encoder"]

