@@ -179,33 +179,84 @@ def call(name: str, jit_fn, **kwargs):
         return exe(**dyn)
 
 
-def _load_or_compile(d: str, sig: str, name: str, jit_fn, kwargs):
+def _load_from_disk(path: str, name: str):
+    """Deserialize+load one cache entry; returns the executable or None."""
     from jax.experimental import serialize_executable as se
 
     import jax
 
+    try:
+        import time as _time
+
+        t0 = _time.perf_counter()
+        with open(path, "rb") as fh:
+            payload, dynamic_names, n_dev = pickle.load(fh)
+        # Executables are bound to a device list at load time; the
+        # default (ALL addressable devices) breaks a 1-device program in
+        # a multi-device process, so bind exactly as many devices as the
+        # program was compiled for.
+        exe = se.deserialize_and_load(
+            *payload, execution_devices=jax.devices()[:n_dev]
+        )
+        exe._fq3t_dynamic_names = frozenset(dynamic_names)
+        exe._fq3t_from_cache = True
+        logger.info("aot cache HIT %s (%s, load %.2fs)",
+                    name, os.path.basename(path), _time.perf_counter() - t0)
+        return exe
+    except Exception as e:  # corrupt/stale entry: recompile
+        logger.warning("aot cache entry %s unreadable (%r); recompiling", path, e)
+        return None
+
+
+def preload(max_workers: int = 8) -> int:
+    """Concurrently load EVERY cache entry in the dir into the in-process map.
+
+    The warm-restart path otherwise pays each deserialize+load RPC
+    sequentially, interleaved with the warmup dispatches (~10 entries,
+    0.04-2.7 s each — the decode_chunk programs dominate). The loads are
+    server round trips that release the GIL, so a thread pool overlaps them;
+    `warmup()` calls this before its first dispatch. Entries whose signature
+    no process ever asks for cost one wasted load each — keep per-model
+    cache dirs (the CLI/servers pass one dir per served model).
+
+    Returns the number of executables loaded."""
+    d = cache_dir()
+    if d is None:
+        return 0
+    import concurrent.futures
+    import glob
+
+    paths = []
+    for path in glob.glob(os.path.join(d, "*.jexe")):
+        sig = os.path.basename(path)[: -len(".jexe")]
+        with _lock:
+            if sig in _loaded:
+                continue
+        paths.append((sig, path))
+    if not paths:
+        return 0
+
+    def _one(item):
+        sig, path = item
+        exe = _load_from_disk(path, "preload")
+        if exe is None:
+            return 0
+        with _lock:
+            _loaded.setdefault(sig, exe)
+        return 1
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=max_workers) as ex:
+        return sum(ex.map(_one, paths))
+
+
+def _load_or_compile(d: str, sig: str, name: str, jit_fn, kwargs):
+    from jax.experimental import serialize_executable as se
+
     path = _path(d, sig)
     if os.path.exists(path):
-        try:
-            import time as _time
-
-            t0 = _time.perf_counter()
-            with open(path, "rb") as fh:
-                payload, dynamic_names, n_dev = pickle.load(fh)
-            # Executables are bound to a device list at load time; the
-            # default (ALL addressable devices) breaks a 1-device program in
-            # a multi-device process, so bind exactly as many devices as the
-            # program was compiled for.
-            exe = se.deserialize_and_load(
-                *payload, execution_devices=jax.devices()[:n_dev]
-            )
-            exe._fq3t_dynamic_names = frozenset(dynamic_names)
-            exe._fq3t_from_cache = True
-            logger.info("aot cache HIT %s (%s, load %.2fs)",
-                        name, sig, _time.perf_counter() - t0)
+        exe = _load_from_disk(path, name)
+        if exe is not None:
             return exe
-        except Exception as e:  # corrupt/stale entry: recompile
-            logger.warning("aot cache entry %s unreadable (%r); recompiling", path, e)
     exe = jit_fn.lower(**kwargs).compile()
     dynamic_names = _dynamic_names(jit_fn, kwargs)
     exe._fq3t_dynamic_names = dynamic_names

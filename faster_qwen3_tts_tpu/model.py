@@ -339,6 +339,14 @@ class FasterQwen3TTS:
             return
         logger.info("Warming up jitted executables...")
         t0 = time.perf_counter()
+        from .engine import aot
+
+        n_pre = aot.preload()  # warm restart: overlap the executable loads
+        if n_pre:
+            logger.info(
+                "warmup: %d AOT executables preloaded in parallel (%.1fs)",
+                n_pre, time.perf_counter() - t0,
+            )
         H = self.config.talker.hidden_size
         bucket = gen_lib.prefill_bucket(prefill_len, self.max_seq_len)
         tie = np.zeros((1, bucket, H), np.float32)

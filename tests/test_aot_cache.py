@@ -211,3 +211,40 @@ def test_callfailure_on_loaded_exe_evicts_and_recompiles(cache_env):
     # that XLA defers into the async result surface at the consumer's fetch,
     # outside aot.call — that is the platform flakiness the TPU-only default
     # gate in cache_dir() exists for.)
+
+
+def test_preload_fills_map_and_skips_recompile(cache_env, monkeypatch):
+    """Warm-restart path: preload() loads every disk entry concurrently into
+    the in-process map, so the subsequent warmup dispatches neither touch
+    `lower` nor pay a sequential per-entry load."""
+    kw = _start_kwargs()
+    st1, _ = aot.call("start_state", core.start_state, **kw)
+    kw2 = dict(kw, min_new_tokens=3)
+    aot.call("start_state", core.start_state, **kw2)
+    tok1 = np.asarray(st1.token)
+    entries = dict(aot._loaded)
+    assert len(entries) == 2
+    aot._loaded.clear()
+
+    import jax.experimental.serialize_executable as se
+
+    real = {os.path.join(cache_env, f"{sig}.jexe"): exe for sig, exe in entries.items()}
+    loads = []
+
+    def fake_load(path, name):
+        loads.append(path)
+        return real[path]
+
+    monkeypatch.setattr(aot, "_load_from_disk", fake_load)
+    assert aot.preload() == 2
+    assert sorted(loads) == sorted(real)
+    assert len(aot._loaded) == 2
+    assert aot.preload() == 0  # idempotent: already-loaded sigs are skipped
+
+    def boom(*a, **k):
+        raise AssertionError("recompile attempted despite preloaded entries")
+
+    monkeypatch.setattr(type(core.start_state), "lower", boom, raising=False)
+    monkeypatch.setattr(se, "deserialize_and_load", boom)
+    st2, _ = aot.call("start_state", core.start_state, **_start_kwargs())
+    np.testing.assert_array_equal(tok1, np.asarray(st2.token))
