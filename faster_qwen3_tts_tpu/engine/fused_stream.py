@@ -156,3 +156,19 @@ def split_fused_output(flat, chunk_size: int, batch: int, num_code_groups: int, 
     done = bool(meta[0, 0, -1])
     frames = meta[valid, 0, :-2].astype(np.int32)
     return audio, frames, done, emitted
+
+
+def split_fused_output_batch(flat, chunk_size: int, batch: int, num_code_groups: int, up: int):
+    """Batched unpack of the fused output, keeping every slot's lane:
+    (audio [B, chunk*up] f32, frames [chunk, B, 16] int32,
+    valid [chunk, B] bool, done [B] bool)."""
+    import numpy as np
+
+    arr = np.asarray(flat)
+    n_audio = batch * chunk_size * up
+    audio = arr[:n_audio].reshape(batch, chunk_size * up)
+    meta = arr[n_audio:-1].astype(np.int32).reshape(chunk_size, batch, num_code_groups + 2)
+    frames = meta[:, :, :-2].astype(np.int32)
+    valid = meta[:, :, -2].astype(bool)
+    done = meta[0, :, -1].astype(bool)
+    return audio, frames, valid, done

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import os
 import time
-from typing import Any, Dict, Generator, Optional, Tuple
+from typing import Any, Dict, Generator, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -235,11 +235,17 @@ class GenerationSession:
         """Upload the rolling codec context window (last `ctx` frames)."""
         self.hist = jnp.asarray(frames[-ctx:][None], jnp.int32)
 
+    def set_codec_history_batch(self, frames_b: np.ndarray, ctx: int) -> None:
+        """Per-slot context windows for batched fused vocode: frames_b
+        [B, >=ctx, 16] (each slot's own history/ICL-reference tail)."""
+        self.hist = jnp.asarray(frames_b[:, -ctx:], jnp.int32)
+
     def decode_chunk_fused_async(self, chunk_size: int, ctx: int) -> jax.Array:
         from . import fused_stream
 
         if ctx == 0:
-            hist = jnp.zeros((1, 1, self.cfg.talker.num_code_groups), jnp.int32)
+            B = self.tie.shape[0]
+            hist = jnp.zeros((B, 1, self.cfg.talker.num_code_groups), jnp.int32)
         else:
             hist = self.hist
         self.state, self.hist, flat = fused_stream.decode_chunk_fused(
@@ -266,6 +272,14 @@ class GenerationSession:
 
         return fused_stream.split_fused_output(
             flat, chunk_size, 1, self.cfg.talker.num_code_groups, self.cfg.codec.total_upsample
+        )
+
+    def materialize_fused_batch(self, flat: jax.Array, chunk_size: int):
+        from . import fused_stream
+
+        return fused_stream.split_fused_output_batch(
+            flat, chunk_size, self.tie.shape[0],
+            self.cfg.talker.num_code_groups, self.cfg.codec.total_upsample,
         )
 
 
@@ -421,22 +435,44 @@ def fast_generate_streaming_batch(
     chunk_size: int = 12,
     seed: Optional[int] = None,
     mesh=None,
+    context_frames: int = 24,
+    first_chunk_size: Optional[int] = None,
+    ref_codes_list: Optional[List[Optional[np.ndarray]]] = None,
     subtalker_dosample: Optional[bool] = None,
     subtalker_top_k: Optional[int] = None,
     subtalker_top_p: Optional[float] = None,
     subtalker_temperature: Optional[float] = None,
-) -> Generator[Tuple[np.ndarray, np.ndarray, np.ndarray, Dict[str, Any]], None, None]:
+) -> Generator[
+    Tuple[np.ndarray, np.ndarray, np.ndarray, Optional[np.ndarray], Dict[str, Any]],
+    None, None,
+]:
     """Batched streaming decode: B independent streams in lockstep on one
     engine batch (optionally sharded over a dp mesh axis).
 
     tie/attention_mask/trailing_text: [B, ...] stacked left-padded prompts.
     Yields (frames [chunk, B, 16] int32, valid [chunk, B] bool,
-    done [B] bool, timing) once per device chunk, with dispatch-ahead.
-    Streams that hit EOS keep their slot (masked invalid) until every stream
-    finishes — the compiled executable never changes shape. This is the
-    serving mode the reference lacks (it serializes requests behind a mutex,
-    reference openai_server.py:71; SURVEY §2.3 maps the TPU-native answer).
+    done [B] bool, audio [B, chunk*up] f32 or None, timing) once per device
+    chunk, with dispatch-ahead. Streams that hit EOS keep their slot (masked
+    invalid) until every stream finishes — the compiled executable never
+    changes shape. This is the serving mode the reference lacks (it
+    serializes requests behind a mutex, reference openai_server.py:71;
+    SURVEY §2.3 maps the TPU-native answer).
+
+    Device-side batched vocode: when every slot is non-ICL (ref_codes_list
+    all None) or every slot carries >= context_frames of ICL reference codes,
+    each chunk's windowed vocode for ALL B slots is fused into the decode
+    executable — one dispatch + one fetch per chunk, B host codec decodes
+    eliminated (the batched extension of the single-stream fused path,
+    fused_stream.py). The per-slot window lanes are independent, so each
+    slot's samples are window-local-exact like the solo fused stream. Audio
+    is None per chunk when the batch is ineligible (mixed/short refs, mesh
+    without fused support disabled via FQ3T_FUSED_VOCODE=0) — the caller
+    vocodes host-side then.
     """
+    import os
+
+    from . import fused_stream
+
     sampling = SamplingParams(temperature, top_k, top_p, do_sample, repetition_penalty)
     pred_sampling = predictor_sampling(
         subtalker_dosample, subtalker_top_k, subtalker_top_p, subtalker_temperature
@@ -446,14 +482,66 @@ def fast_generate_streaming_batch(
         max_seq_len, sampling, pred_sampling, min_new_tokens, seed, mesh=mesh,
     )
     sess.prefill(block=False)
+    sess.hist = None
 
-    totals = np.zeros(tie.shape[0], np.int64)
+    B = tie.shape[0]
+    refs = list(ref_codes_list) if ref_codes_list is not None else [None] * B
+    # Fused vocode stays single-chip for now: the codec window executable is
+    # compiled without sharding annotations, so under a (dp, tp) mesh the
+    # host per-slot vocoders keep serving (frames replicate host-side anyway).
+    fused_enabled = os.environ.get("FQ3T_FUSED_VOCODE", "1") != "0" and mesh is None
+    icl_fused = fused_enabled and all(
+        r is not None and r.shape[0] >= context_frames for r in refs
+    )
+    use_fused = icl_fused or (fused_enabled and all(r is None for r in refs))
+    first_cs = first_chunk_size or chunk_size
+
+    totals = np.zeros(B, np.int64)
     chunk_index = 0
-    pending = sess.decode_chunk_async(chunk_size)
+    n_decoded = 0  # frames dispatched per lane (lockstep, validity-blind)
+    # Rolling per-lane frame tail [B, <=context_frames, 16] for hist rebuilds
+    # (ICL lanes start with their reference tails prepended).
+    ncg = cfg.talker.num_code_groups
+    if icl_fused:
+        tail = np.stack(
+            [np.asarray(r, np.int32)[-context_frames:] for r in refs], axis=0
+        )
+    else:
+        tail = np.zeros((B, 0, ncg), np.int32)
+
+    def dispatch():
+        cs = first_cs if n_decoded == 0 else chunk_size
+        if not use_fused:
+            return ("plain", sess.decode_chunk_async(cs), cs)
+        if icl_fused:
+            # Reference tails give every lane a full steady-state window from
+            # chunk 0 (the batched analog of the single-stream ICL fusion).
+            ctx = context_frames
+        elif n_decoded == 0:
+            return ("fused0", sess.decode_chunk_fused_async(cs, 0), cs)
+        else:
+            ctx = min(n_decoded, context_frames)
+        # The device hist carry is only valid at matching width (a fused0 or
+        # smaller-ctx chunk leaves it short) — rebuild from the host tail then.
+        if sess.hist is None or sess.hist.shape[1] != ctx:
+            sess.set_codec_history_batch(tail, ctx)
+        return ("fused", sess.decode_chunk_fused_async(cs, ctx), cs)
+
+    pending = dispatch()
     while True:
         t0 = time.perf_counter()
-        frames, valid, done = sess.materialize_batch(pending)
+        kind, dev, cs = pending
         pending = None
+        if kind == "plain":
+            frames, valid, done = sess.materialize_batch(dev)
+            audio = None
+        else:
+            audio, frames, valid, done = sess.materialize_fused_batch(dev, cs)
+        n_decoded += cs
+        if use_fused:
+            tail = np.concatenate(
+                [tail, np.transpose(frames, (1, 0, 2))], axis=1
+            )[:, -context_frames:]
         # clip each stream to its token budget
         cum = valid.cumsum(axis=0) + totals[None, :]
         valid = valid & (cum <= max_new_tokens)
@@ -461,13 +549,15 @@ def fast_generate_streaming_batch(
         decode_ms = (time.perf_counter() - t0) * 1000.0
         stream_done = bool(np.all(done | (totals >= max_new_tokens)))
         if not stream_done:
-            pending = sess.decode_chunk_async(chunk_size)
-        yield frames, valid, done, {
+            pending = dispatch()
+        yield frames, valid, done, audio, {
             "chunk_index": chunk_index,
             "prefill_ms": sess.prefill_ms if chunk_index == 0 else 0.0,
             "decode_ms": decode_ms,
             "total_steps_so_far": totals.copy(),
             "is_final": stream_done,
+            "fused": kind != "plain",
+            "first_window": kind == "fused0",
         }
         chunk_index += 1
         if stream_done:

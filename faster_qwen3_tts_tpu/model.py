@@ -866,6 +866,7 @@ class FasterQwen3TTS:
         self,
         requests: List[Dict[str, Any]],
         chunk_size: int = 8,
+        first_chunk_size: Optional[int] = None,
         max_new_tokens: int = 2048,
         min_new_tokens: int = 2,
         temperature: float = 0.9,
@@ -893,6 +894,15 @@ class FasterQwen3TTS:
         chunk order; a slot stops appearing once its stream hit EOS. This is
         the serving mode the reference lacks (requests behind a mutex,
         reference openai_server.py:71) — the TPU-native batched extension.
+
+        Vocoding is device-side whenever the batch is uniform (all slots
+        xvec-only, or all slots carrying >= 24 ICL reference frames): the
+        B-lane windowed vocode fuses into the decode executable, so each
+        chunk is ONE dispatch + ONE fetch for the whole batch instead of B
+        sequential host codec decodes (engine.fast_generate_streaming_batch).
+        Mixed/short-reference batches fall back to per-slot host vocoders.
+        first_chunk_size: smaller first chunk = lower per-slot TTFA, same
+        semantics as generate_voice_clone_streaming.
         """
         if not requests:
             return
@@ -937,23 +947,38 @@ class FasterQwen3TTS:
             max_seq_len=self.max_seq_len, max_new_tokens=max_new_tokens,
             min_new_tokens=min_new_tokens, temperature=temperature, top_k=top_k,
             top_p=top_p, do_sample=do_sample, repetition_penalty=repetition_penalty,
-            chunk_size=chunk_size, seed=seed, mesh=self.mesh,
+            chunk_size=chunk_size, first_chunk_size=first_chunk_size, seed=seed,
+            mesh=self.mesh, ref_codes_list=ref_codes,
             subtalker_dosample=subtalker_dosample, subtalker_top_k=subtalker_top_k,
             subtalker_top_p=subtalker_top_p, subtalker_temperature=subtalker_temperature,
         )
-        vocoders = [_StreamVocoder(self._speech_tokenizer, self.config.codec, rc)
-                    for rc in ref_codes]
+        # Host vocoders only materialize on the non-fused path (mixed or
+        # short-reference batches); fused chunks carry device-decoded audio.
+        from .engine.fused_stream import codec_deficit
+
+        vocoders: Optional[List[_StreamVocoder]] = None
+        up = self.config.codec.total_upsample
+        D = codec_deficit(self.config.codec)
         emitted_done = [False] * B
-        for frames, valid, done, timing in stream:
+        for frames, valid, done, audio_b, timing in stream:
             for s in range(B):
                 if emitted_done[s]:
                     continue
-                fr = frames[valid[:, s], s]
-                if fr.shape[0]:
-                    audio = vocoders[s].vocode_new(fr)
+                v = int(valid[:, s].sum())
+                if v:
+                    if audio_b is not None:
+                        n_emit = max(v * up - D, 0) if timing["first_window"] else v * up
+                        audio = np.asarray(audio_b[s, :n_emit], np.float32)
+                    else:
+                        if vocoders is None:
+                            vocoders = [
+                                _StreamVocoder(self._speech_tokenizer, self.config.codec, rc)
+                                for rc in ref_codes
+                            ]
+                        audio = vocoders[s].vocode_new(frames[valid[:, s], s])
                     t = dict(timing)
                     t["slot"] = s
-                    t["chunk_steps"] = int(fr.shape[0])
+                    t["chunk_steps"] = v
                     t["total_steps_so_far"] = int(timing["total_steps_so_far"][s])
                     t["is_final"] = bool(done[s]) or bool(timing["is_final"])
                     yield s, audio, self.sample_rate, t

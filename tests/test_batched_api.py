@@ -168,3 +168,75 @@ def test_batch_on_dp_tp_mesh_matches_single_device(batch_params, batch_cfg, mode
     want = _run_batch(model, requests)
     for s in got:
         np.testing.assert_allclose(got[s], want[s], rtol=1e-5, atol=1e-5)
+
+
+def _run_batch_timed(model, requests, **kw):
+    """Like _run_batch but also returns the per-chunk timing dicts."""
+    chunks = {s: [] for s in range(len(requests))}
+    timings = []
+    for slot, audio, _sr, timing in model.generate_voice_clone_streaming_batch(
+        requests, chunk_size=CHUNK, max_new_tokens=MAXNEW, do_sample=False,
+        seed=0, subtalker_dosample=False, **kw,
+    ):
+        chunks[slot].append(audio)
+        timings.append(timing)
+    return (
+        {s: np.concatenate(c) if c else np.zeros(0, np.float32) for s, c in chunks.items()},
+        timings,
+    )
+
+
+def test_batch_all_xvec_takes_fused_vocode(model):
+    """A uniform xvec-only batch vocodes DEVICE-SIDE (one fused dispatch per
+    chunk, zero host codec calls), and each slot's audio matches its solo
+    fused streaming run (same ctx window schedule -> same samples)."""
+    requests = [
+        {"text": "Hello world.", "voice_clone_prompt": _xvec_prompt(0), "xvec_only": True},
+        {"text": "A much longer second sentence here.",
+         "voice_clone_prompt": _xvec_prompt(1), "xvec_only": True},
+    ]
+    batched, timings = _run_batch_timed(model, requests)
+    assert timings and all(t["fused"] for t in timings)
+    for s, req in enumerate(requests):
+        solo = _run_solo(model, req)
+        assert batched[s].size > 0
+        assert batched[s].shape == solo.shape
+        np.testing.assert_allclose(batched[s], solo, atol=1e-5)
+
+
+def test_batch_all_long_icl_takes_fused_vocode(model):
+    """A uniform long-reference ICL batch fuses from chunk 0 (each lane's
+    window starts as its own reference tail) and matches the solo fused ICL
+    stream per slot."""
+    def _long_icl(seed):
+        rng = np.random.default_rng(seed)
+        return {
+            "ref_spk_embedding": [rng.standard_normal(2048).astype(np.float32)],
+            "x_vector_only_mode": [False],
+            "icl_mode": [True],
+            "ref_code": [rng.integers(0, 2048, size=(30, 16)).astype(np.int32)],
+        }
+
+    requests = [
+        {"text": "Hello world.", "voice_clone_prompt": _long_icl(3),
+         "ref_text": "Ref one."},
+        {"text": "A different second text.", "voice_clone_prompt": _long_icl(4),
+         "ref_text": "Ref two."},
+    ]
+    batched, timings = _run_batch_timed(model, requests)
+    assert timings and all(t["fused"] for t in timings)
+    assert not any(t["first_window"] for t in timings)  # ctx=24 from chunk 0
+    for s, req in enumerate(requests):
+        solo = _run_solo(model, req)
+        assert batched[s].size > 0
+        assert batched[s].shape == solo.shape
+        np.testing.assert_allclose(batched[s], solo, atol=1e-5)
+
+
+def test_batch_mixed_refs_keeps_host_vocoders(model):
+    """Mixed xvec + short-ICL batches cannot share a fused window ctx; they
+    must keep the per-slot host vocoders (audio still correct — pinned
+    bit-exact vs solo parity runs by test_batch_streams_match_solo_runs)."""
+    batched, timings = _run_batch_timed(model, _requests())
+    assert timings and not any(t["fused"] for t in timings)
+    assert all(batched[s].size > 0 for s in batched)
