@@ -78,6 +78,27 @@ def run_child(args) -> None:
     load_done = time.time() - t0
     stage("model_loaded")
 
+    # Phase attribution WITHOUT serializing the pipeline: a watcher thread
+    # fetches one tiny quantized leaf, which completes only once the async
+    # device-init + quantization programs have executed. Its timestamp says
+    # how much of "warmup" was actually the init drain (a benchmark-mode
+    # cost: production loads transfer real weights instead), while the main
+    # thread keeps dispatching warmup work that overlaps the drain.
+    import threading
+
+    import jax as _jax
+
+    def _watch_drain():
+        try:
+            leaves = _jax.tree.leaves(model.params["talker"]["layers"])
+            smallest = min(leaves, key=lambda l: getattr(l, "size", 1 << 60))
+            np.asarray(smallest)
+            stage("init_pipeline_drained")
+        except Exception as e:  # reporting-only; never fail the benchmark
+            log(f"  drain watcher failed: {e!r}")
+
+    threading.Thread(target=_watch_drain, daemon=True).start()
+
     # The exact serving warmup both servers use.
     model.warmup(prefill_len=10, chunk_sizes=(8,), first_chunk_size=4)
     warm_done = time.time() - t0

@@ -225,9 +225,17 @@ def quantize_model_params(params: dict, mode: str = "int8") -> dict:
     if any(isinstance(l, jax.Array) for l in leaves):
         # No donation: callers may keep using the unquantized originals
         # (tests compare against them), and XLA frees them as soon as the
-        # caller drops its reference anyway.
+        # caller drops its reference anyway. Routed through the AOT
+        # executable cache (leaf shapes/dtypes are the signature) so a
+        # serving restart skips this remote compile too.
+        from ..engine import aot
+
         fns = {"int8": quantize_linear_jnp, "int4": quantize_linear4_jnp}
-        return jax.jit(lambda p: _quantize_tree(p, fns[talker_mode], fns[pred_mode]))(params)
+        return aot.call(
+            f"quantize_model_params-{mode}",
+            jax.jit(lambda p: _quantize_tree(p, fns[talker_mode], fns[pred_mode])),
+            p=params,
+        )
     fns = {"int8": quantize_linear, "int4": quantize_linear4}
     return _quantize_tree(params, fns[talker_mode], fns[pred_mode])
 

@@ -15,6 +15,7 @@ The reference gets all weights through `Qwen3TTSModel.from_pretrained`
 from __future__ import annotations
 
 import dataclasses
+import hashlib
 import json
 import os
 from typing import Any, Dict, Optional
@@ -789,7 +790,18 @@ def _finalize(params: Dict[str, Any], skeleton_ids: set, device_put_flag: bool,
             # element draws x150 leaves produces a program that erratic
             # remote compilers chew on for minutes. Init quality needs no
             # cryptographic stream.
-            generated = jax.jit(_gen)(jax.random.key(seed, impl="rbg"))
+            #
+            # Routed through the AOT executable cache: the program's shapes
+            # live in the `regen` CLOSURE (its only kwarg is the key), so the
+            # geometry digest goes into the cache NAME — two different model
+            # geometries must never share an entry.
+            from .engine import aot
+
+            geom = hashlib.sha256(repr(regen).encode()).hexdigest()[:16]
+            generated = aot.call(
+                f"init_all_device-{geom}", jax.jit(_gen),
+                key=jax.random.key(seed, impl="rbg"),
+            )
         else:
             host = np.random.default_rng(seed)
             generated = [

@@ -248,3 +248,30 @@ def test_preload_fills_map_and_skips_recompile(cache_env, monkeypatch):
     monkeypatch.setattr(se, "deserialize_and_load", boom)
     st2, _ = aot.call("start_state", core.start_state, **_start_kwargs())
     np.testing.assert_array_equal(tok1, np.asarray(st2.token))
+
+
+def test_device_init_and_quant_route_through_cache(cache_env):
+    """The load-path one-shot programs (device init, on-device quantization)
+    are AOT-cached too — a serving restart must skip their remote compiles
+    (the warm-restart profile showed they were recompiled every process)."""
+    import jax.numpy as jnp
+
+    from faster_qwen3_tts_tpu import weights as weights_lib
+    from faster_qwen3_tts_tpu.config import tiny_test_config
+    from faster_qwen3_tts_tpu.ops import quant as quant_lib
+
+    cfg = tiny_test_config()
+    params = weights_lib.init_all_device(cfg, seed=0, dtype=jnp.float32)
+    entries = set(os.listdir(cache_env))
+    assert len(entries) == 1  # the init_all_device-<geom> program
+    q = quant_lib.quantize_model_params(
+        {"talker": params["talker"], "predictor": params["predictor"]}, "int8"
+    )
+    assert len(set(os.listdir(cache_env)) - entries) == 1  # + the quant program
+    # same seed through the cache -> identical weights
+    params2 = weights_lib.init_all_device(cfg, seed=0, dtype=jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(params["talker"]["codec_embed"]),
+        np.asarray(params2["talker"]["codec_embed"]),
+    )
+    assert isinstance(q["talker"]["layers"]["wq"], quant_lib.QuantizedLinear)
