@@ -95,11 +95,13 @@ def _leaf_sig(leaf) -> str:
 
 # Env flags that change what gets TRACED (and therefore what the compiled
 # executable computes) without changing any input shape/dtype/static. They
-# must be part of the cache signature: toggling FQ3T_PALLAS_MATVEC between
-# runs would otherwise silently load an executable compiled with the other
-# matvec path — same I/O signature, so the call-time eviction fallback never
-# fires (ADVICE r3 #1).
-_TRACE_ENV_FLAGS = ("FQ3T_PALLAS_MATVEC", "FQ3T_DISABLE_PALLAS")
+# must be part of the cache signature: toggling one between runs would
+# otherwise silently load an executable compiled with the other trace —
+# same I/O signature, so the call-time eviction fallback never fires
+# (ADVICE r3 #1, originally for the since-deleted Pallas matvec flag).
+# FQ3T_SCAN_UNROLL changes the decode layer-scan unroll factor
+# (models/layers.py _decode_unroll) inside an identical I/O signature.
+_TRACE_ENV_FLAGS = ("FQ3T_SCAN_UNROLL",)
 
 
 def _signature(name: str, kwargs: Dict[str, Any]) -> str:

@@ -123,26 +123,23 @@ def _dot4(x: jax.Array, w: QuantizedLinear4) -> jax.Array:
 
 def dot(x: jax.Array, w) -> jax.Array:
     """x @ w with f32 accumulation; w may be a plain array, QuantizedLinear,
-    or QuantizedLinear4. Result in x.dtype."""
+    or QuantizedLinear4. Result in x.dtype.
+
+    The int8 branch is pure XLA by verdict, not by default: a hand-written
+    Mosaic int8 matvec (grid-pipelined [BI, O] weight blocks, f32 VMEM
+    accumulator) beat XLA by ~25% on an isolated feedback-chained probe, but
+    lost its production A/B on the real chip (round 4, decode_profile fused
+    frame: 0.6B Q8_0 5.25 vs 5.00 ms/frame, 1.7B 8.99 vs 8.98): inside the
+    fused decode program every pallas_call is a fusion barrier — XLA loses
+    the elementwise fusion and the cross-op weight-prefetch overlap it has in
+    the pure-XLA schedule, which costs more than the kernel's streaming win.
+    Third dead Pallas kernel (decode attention r2, predictor frame r3 — see
+    ops/attention.py); the lesson generalizes: isolated-chain wins do not
+    survive fusion-barrier costs at decode sizes on this chip.
+    """
     if isinstance(w, QuantizedLinear4):
         return _dot4(x, w)
     if isinstance(w, QuantizedLinear):
-        if w.q.ndim == 2:
-            from . import matvec_pallas as mvp
-
-            if mvp.enabled():
-                lead = x.shape[:-1]
-                rows = 1
-                for d in lead:
-                    rows *= int(d)
-                if mvp.eligible(rows, x.shape[-1], w.q.shape[-1]):
-                    y2 = mvp.qmatvec(
-                        x.reshape(rows, x.shape[-1]),
-                        w.q,
-                        w.scale.reshape(1, w.scale.shape[-1]),
-                        interpret=jax.default_backend() != "tpu",
-                    )
-                    return y2.reshape(*lead, w.q.shape[-1])
         y = jax.lax.dot_general(
             x,
             w.q.astype(x.dtype),
