@@ -78,26 +78,12 @@ def run_child(args) -> None:
     load_done = time.time() - t0
     stage("model_loaded")
 
-    # Phase attribution WITHOUT serializing the pipeline: a watcher thread
-    # fetches one tiny quantized leaf, which completes only once the async
-    # device-init + quantization programs have executed. Its timestamp says
-    # how much of "warmup" was actually the init drain (a benchmark-mode
-    # cost: production loads transfer real weights instead), while the main
-    # thread keeps dispatching warmup work that overlaps the drain.
-    import threading
-
-    import jax as _jax
-
-    def _watch_drain():
-        try:
-            leaves = _jax.tree.leaves(model.params["talker"]["layers"])
-            smallest = min(leaves, key=lambda l: getattr(l, "size", 1 << 60))
-            np.asarray(smallest)
-            stage("init_pipeline_drained")
-        except Exception as e:  # reporting-only; never fail the benchmark
-            log(f"  drain watcher failed: {e!r}")
-
-    threading.Thread(target=_watch_drain, daemon=True).start()
+    # Phase attribution comes from warmup() itself: it drains the async
+    # init/quant/transfer pipeline with one main-thread fetch before its
+    # first dispatch and logs "load pipeline drained". (A previous version
+    # used a concurrent watcher-thread fetch for this; a fetch left in
+    # flight alongside warmup dispatches wedged the tunneled TPU client for
+    # ~2 minutes — round-4 forensics in BENCH_NOTES.md.)
 
     # The exact serving warmup both servers use.
     model.warmup(prefill_len=10, chunk_sizes=(8,), first_chunk_size=4)

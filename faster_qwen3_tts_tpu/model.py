@@ -341,6 +341,21 @@ class FasterQwen3TTS:
         t0 = time.perf_counter()
         from .engine import aot
 
+        # Drain the async load pipeline (device-side init / quantization /
+        # weight transfer) with one tiny MAIN-thread fetch before anything
+        # else. Ordering is load-bearing on tunneled runtimes: a fetch
+        # in flight concurrently with executable-load RPCs reliably wedges
+        # this environment's client (measured 132 s with a watcher-thread
+        # fetch during the parallel preload, and 993 s when the drain fetch
+        # followed it — vs 6.9 s for the identical fetch with nothing else
+        # in flight; round-4 forensics in BENCH_NOTES.md). Drain first,
+        # THEN preload, then dispatch: no two RPC classes ever overlap.
+        # Also gives honest phase attribution — load-pipeline time no
+        # longer hides inside the first warmup step.
+        leaves = jax.tree.leaves(self.params["talker"])
+        small = min(leaves, key=lambda l: getattr(l, "size", 1 << 60))
+        np.asarray(small)
+        logger.info("warmup: load pipeline drained (%.1fs)", time.perf_counter() - t0)
         n_pre = aot.preload()  # warm restart: overlap the executable loads
         if n_pre:
             logger.info(
