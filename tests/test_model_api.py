@@ -265,3 +265,45 @@ def test_signature_superset_of_reference_contract(base_model):
         have = set(inspect.signature(getattr(base_model, name)).parameters)
         missing = [p for p in reference_clone if p not in have]
         assert not missing, f"{name} missing reference params: {missing}"
+
+
+def test_warmup_phases_drain_then_preload_then_dispatch(tiny_config, monkeypatch):
+    """Round-4 tunnel forensics (BENCH_NOTES): a device->host fetch racing
+    executable-load RPCs wedges tunneled runtimes for minutes, so warmup()
+    must strictly phase its RPC classes — ONE main-thread drain fetch first,
+    THEN aot.preload(), THEN the warmup dispatches. Pin that ordering: the
+    first jax-array fetch precedes preload, and every dispatch follows it."""
+    import jax
+
+    import faster_qwen3_tts_tpu.model as model_mod
+    from faster_qwen3_tts_tpu.engine import aot
+
+    model = _make_model(tiny_config, "base")
+    model._warmed_up = False
+
+    events = []
+    real_asarray = np.asarray
+
+    def rec_asarray(a, *args, **kwargs):
+        if isinstance(a, jax.Array):
+            events.append("fetch")
+        return real_asarray(a, *args, **kwargs)
+
+    def rec_preload(**kwargs):
+        events.append("preload")
+        return 0
+
+    # model.py holds the shared numpy module object; patching its asarray
+    # attribute records every device->host fetch issued during warmup.
+    monkeypatch.setattr(model_mod.np, "asarray", rec_asarray)
+    monkeypatch.setattr(aot, "preload", rec_preload)
+
+    model.warmup(prefill_len=8, chunk_sizes=(2,), first_chunk_size=2)
+
+    assert "preload" in events and "fetch" in events
+    assert events[0] == "fetch", "warmup must drain the load pipeline first"
+    assert events.index("preload") == 1, (
+        "aot.preload must run immediately after the single drain fetch, "
+        f"before any dispatch fetch (got {events[:4]}...)"
+    )
+    assert "fetch" in events[2:], "warmup dispatches must follow preload"
