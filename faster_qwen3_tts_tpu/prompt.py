@@ -88,6 +88,16 @@ class PromptBuilder:
         self._codec_embed_cache: Dict[tuple, np.ndarray] = {}
         self._role_cache: Dict[tuple, np.ndarray] = {}
         self._xvec_cache: Dict[bytes, np.ndarray] = {}
+        # Per-voice ICL constants (ref-text hiddens + ref-frame embeds): the
+        # reference serves repeat requests for one voice from its voice-
+        # prompt cache (reference model.py:47,424-427); here the analogous
+        # win is skipping TWO device round trips per request (~60 ms through
+        # the tunnel) — the single remaining fetch is the request text.
+        # LRU-bounded: a 90-frame entry is ~0.7 MB host f32.
+        from collections import OrderedDict
+
+        self._ref_prompt_cache: "OrderedDict[tuple, Tuple[np.ndarray, np.ndarray]]" = OrderedDict()
+        self._ref_prompt_cache_max = 16
 
     # -- bucketed host<->device helpers --------------------------------------
 
@@ -257,10 +267,19 @@ class PromptBuilder:
             text_hiddens = full_h[3:-5]
 
             if icl_mode:
-                rid = ref_ids[index]
-                ref_text_hiddens = self._text_hidden(np.asarray(rid)[:, 3:-2])
+                rid = np.asarray(ref_ids[index])
                 ref_code = np.asarray(voice_clone_prompt["ref_code"][index], np.int32)
-                frame_embs = self._frame_embeds(ref_code)  # [Tc, H]
+                ck = (rid.tobytes(), rid.shape, ref_code.tobytes(), ref_code.shape)
+                cached = self._ref_prompt_cache.get(ck)
+                if cached is None:
+                    ref_text_hiddens = self._text_hidden(rid[:, 3:-2])
+                    frame_embs = self._frame_embeds(ref_code)  # [Tc, H]
+                    self._ref_prompt_cache[ck] = (ref_text_hiddens, frame_embs)
+                    if len(self._ref_prompt_cache) > self._ref_prompt_cache_max:
+                        self._ref_prompt_cache.popitem(last=False)
+                else:
+                    self._ref_prompt_cache.move_to_end(ck)
+                    ref_text_hiddens, frame_embs = cached
                 Tc = frame_embs.shape[0]
                 # text lane across the ICL block: ref text then tts_pad
                 lane = np.tile(tts_pad[None, :], (Tc + 1, 1))

@@ -166,3 +166,63 @@ def test_instruct_prepends(setup):
     extra = instr.shape[1]
     assert tie1.shape[1] == tie0.shape[1] + extra
     np.testing.assert_allclose(tie1[0, extra:], tie0[0], rtol=1e-5, atol=1e-6)
+
+
+def test_icl_ref_prompt_cache_skips_device_calls(tiny_config, monkeypatch):
+    """Repeat requests for one ICL voice must hit the per-voice cache: the
+    second build issues exactly ONE text-hidden device call (the request
+    text) and ZERO frame-embed calls, and returns bit-identical outputs —
+    two device round trips (~60 ms through the tunnel) off the ICL TTFA
+    path, the analog of the reference's voice-prompt cache
+    (reference model.py:47,424-427)."""
+    import faster_qwen3_tts_tpu.prompt as prompt_mod
+
+    cfg = dataclasses.replace(
+        tiny_config, tts_bos_token_id=300, tts_eos_token_id=301, tts_pad_token_id=302
+    )
+    params = weights_lib.init_all(cfg, seed=0, dtype=jnp.float32)
+    builder = PromptBuilder(params, cfg)
+    tok = PromptTokenizer(ByteTokenizer())
+
+    calls = {"text": 0, "frame": 0}
+    orig_text, orig_frame = prompt_mod._text_hidden_jit, prompt_mod._frame_embeds_jit
+
+    def count_text(*a):
+        calls["text"] += 1
+        return orig_text(*a)
+
+    def count_frame(*a):
+        calls["frame"] += 1
+        return orig_frame(*a)
+
+    monkeypatch.setattr(prompt_mod, "_text_hidden_jit", count_text)
+    monkeypatch.setattr(prompt_mod, "_frame_embeds_jit", count_frame)
+
+    ids = tok.assistant_ids("hello")
+    ref_ids = tok.ref_ids("reference words")
+    rng = np.random.default_rng(0)
+    vcp = dict(
+        ref_code=[rng.integers(0, 2048, (12, 16)).astype(np.int32)],
+        ref_spk_embedding=[rng.standard_normal(2048).astype(np.float32)],
+        x_vector_only_mode=[False],
+        icl_mode=[True],
+    )
+    build = lambda t: builder.build(
+        [tok.assistant_ids(t)], [ref_ids], vcp, ["English"], None,
+        non_streaming_mode=False,
+    )
+    first = build("hello")
+    calls_after_first = dict(calls)
+    assert calls["frame"] == 1
+
+    second = build("hello")
+    # one text-hidden call for the request text; ref hiddens + frames cached
+    assert calls["text"] == calls_after_first["text"] + 1
+    assert calls["frame"] == calls_after_first["frame"]
+    for a, b in zip(first, second):
+        np.testing.assert_array_equal(a, b)
+
+    # a DIFFERENT voice (new ref codes) must miss the cache
+    vcp2 = dict(vcp, ref_code=[rng.integers(0, 2048, (12, 16)).astype(np.int32)])
+    builder.build([ids], [ref_ids], vcp2, ["English"], None, non_streaming_mode=False)
+    assert calls["frame"] == calls_after_first["frame"] + 1
