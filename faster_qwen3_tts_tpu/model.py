@@ -439,6 +439,12 @@ class FasterQwen3TTS:
         self._prepare_generation(
             warm_text, language="English", voice_clone_prompt=warm_prompt, xvec_only=True
         )
+        # Host builder too (batch/nsm/parity paths): its text-hidden bucket
+        # executables no longer compile via the device-assembly request above.
+        self._prepare_generation(
+            warm_text, language="English", voice_clone_prompt=warm_prompt,
+            xvec_only=True, prefer_device=False,
+        )
         logger.info("warmup: prompt-assembly jits compiled (%.1fs)", time.perf_counter() - t0)
         # Keep the warmup session's device buffers alive: releasing them here
         # fires a burst of buffer-delete RPCs exactly as the first real
@@ -631,6 +637,7 @@ class FasterQwen3TTS:
         append_silence: bool = True,
         voice_clone_prompt=None,
         instruct: Optional[str] = None,
+        prefer_device: bool = True,
     ):
         input_ids = [self.tokenizer.assistant_ids(text)]
         instruct_ids = [self.tokenizer.instruct_ids(instruct)] if instruct else [None]
@@ -642,30 +649,60 @@ class FasterQwen3TTS:
                 "Base-model instruct with x-vector-only voice cloning is experimental; "
                 "prefer xvec_only=False (ICL mode)."
             )
+        languages = [language] if language is not None else ["Auto"]
+        ref_codes = None
+        if using_icl and vcp.get("ref_code") and vcp["ref_code"][0] is not None:
+            ref_codes = np.asarray(vcp["ref_code"][0], np.int32)
+        if self._device_prompt_ok(prefer_device, non_streaming_mode):
+            dev = self.prompt_builder.build_device(
+                input_ids, ref_ids, vcp, languages, None, instruct_ids, self.max_seq_len
+            )
+            if dev is not None:
+                tie, tam, tth, tpe = dev
+                return tie, tam, tth, tpe, ref_codes
         tie, tam, tth, tpe = self.prompt_builder.build(
             input_ids=input_ids,
             ref_ids=ref_ids,
             voice_clone_prompt=vcp,
-            languages=[language] if language is not None else ["Auto"],
+            languages=languages,
             speakers=None,
             non_streaming_mode=non_streaming_mode,
             instruct_ids=instruct_ids,
         )
-        ref_codes = None
-        if using_icl and vcp.get("ref_code") and vcp["ref_code"][0] is not None:
-            ref_codes = np.asarray(vcp["ref_code"][0], np.int32)
         return tie, tam, tth, tpe, ref_codes
 
+    def _device_prompt_ok(self, prefer_device: bool, non_streaming_mode: bool) -> bool:
+        """Device-side prompt assembly gate: single-stream streaming-layout
+        requests on a single chip (the TTFA path). The batch scheduler re-pads
+        prompts in host numpy, the parity engine indexes them eagerly, and the
+        mesh path re-commits with shardings — those keep the host builder.
+        FQ3T_DEVICE_PROMPT=0 forces the host path everywhere (A/B lever)."""
+        return (
+            prefer_device
+            and not non_streaming_mode
+            and self.mesh is None
+            and os.environ.get("FQ3T_DEVICE_PROMPT", "1") != "0"
+        )
+
     def _prepare_generation_custom(
-        self, text, language, speaker, instruct=None, non_streaming_mode=True
+        self, text, language, speaker, instruct=None, non_streaming_mode=True,
+        prefer_device: bool = True,
     ):
         input_ids = [self.tokenizer.assistant_ids(text)]
         instruct_ids = [self.tokenizer.instruct_ids(instruct)] if instruct else [None]
+        languages = [language] if language is not None else ["Auto"]
+        if self._device_prompt_ok(prefer_device, non_streaming_mode):
+            dev = self.prompt_builder.build_device(
+                input_ids, [None], None, languages, [speaker], instruct_ids,
+                self.max_seq_len,
+            )
+            if dev is not None:
+                return dev
         tie, tam, tth, tpe = self.prompt_builder.build(
             input_ids=input_ids,
             ref_ids=[None],
             voice_clone_prompt=None,
-            languages=[language] if language is not None else ["Auto"],
+            languages=languages,
             speakers=[speaker],
             non_streaming_mode=non_streaming_mode,
             instruct_ids=instruct_ids,
@@ -839,6 +876,7 @@ class FasterQwen3TTS:
             text=text, language=language, ref_audio=ref_audio, ref_text=ref_text,
             xvec_only=xvec_only, non_streaming_mode=nsm, append_silence=append_silence,
             voice_clone_prompt=voice_clone_prompt, instruct=instruct,
+            prefer_device=not parity_mode,
         )
         if parity_mode:
             # Parity path: a genuinely independent per-step eager fp32 decode
@@ -935,6 +973,8 @@ class FasterQwen3TTS:
                     append_silence=bool(r.get("append_silence", True)),
                     voice_clone_prompt=r.get("voice_clone_prompt"),
                     instruct=r.get("instruct"),
+                    # the batch scheduler re-pads slots in host numpy below
+                    prefer_device=False,
                 )
             )
         B = len(prepared)
