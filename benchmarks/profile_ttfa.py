@@ -82,7 +82,9 @@ def main():
             t2 = time.perf_counter()
             if mode == "icl":
                 # engine default context_frames (fast_generate_streaming_fused)
-                ctx = 24
+                from faster_qwen3_tts_tpu.engine.generate import CONTEXT_FRAMES
+
+                ctx = CONTEXT_FRAMES
                 sess.set_codec_history(np.asarray(ref_codes, np.int32), ctx)
             else:
                 ctx = 0

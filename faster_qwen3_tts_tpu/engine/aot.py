@@ -100,8 +100,13 @@ def _leaf_sig(leaf) -> str:
 # same I/O signature, so the call-time eviction fallback never fires
 # (ADVICE r3 #1, originally for the since-deleted Pallas matvec flag).
 # FQ3T_SCAN_UNROLL changes the decode layer-scan unroll factor
-# (models/layers.py _decode_unroll) inside an identical I/O signature.
-_TRACE_ENV_FLAGS = ("FQ3T_SCAN_UNROLL",)
+# (models/layers.py _decode_unroll) and FQ3T_PRED_UNROLL the predictor
+# codebook-loop unroll (models/predictor.py), both inside an identical I/O
+# signature. tests/test_aot_cache.py::test_trace_env_flags_complete greps the
+# package for trace-time env reads and fails if one is missing from this
+# tuple — this bug class has now occurred twice (ADVICE r3 #1, VERDICT r4
+# weak #1); keep the list and the test's classification in sync.
+_TRACE_ENV_FLAGS = ("FQ3T_SCAN_UNROLL", "FQ3T_PRED_UNROLL")
 
 
 def _signature(name: str, kwargs: Dict[str, Any]) -> str:

@@ -28,6 +28,12 @@ from . import aot, core
 
 PREFILL_BUCKETS = (32, 64, 128, 256, 512, 1024, 2048)
 
+# Steady-state vocoder left-context window (frames). The single source of
+# truth for the engine, model._stream_decode, warmup, and the profilers —
+# matching the reference's 25-frame sliding window semantics
+# (reference model.py:1048-1056) at the engine's 24-frame geometry.
+CONTEXT_FRAMES = 24
+
 
 def predictor_sampling(
     subtalker_dosample: Optional[bool] = None,
@@ -435,7 +441,7 @@ def fast_generate_streaming_batch(
     chunk_size: int = 12,
     seed: Optional[int] = None,
     mesh=None,
-    context_frames: int = 24,
+    context_frames: int = CONTEXT_FRAMES,
     first_chunk_size: Optional[int] = None,
     ref_codes_list: Optional[List[Optional[np.ndarray]]] = None,
     subtalker_dosample: Optional[bool] = None,
@@ -581,7 +587,7 @@ def fast_generate_streaming_fused(
     repetition_penalty: float = 1.05,
     chunk_size: int = 12,
     seed: Optional[int] = None,
-    context_frames: int = 24,
+    context_frames: int = CONTEXT_FRAMES,
     fuse_first_chunk: bool = False,
     first_chunk_size: Optional[int] = None,
     ref_codes: Optional[np.ndarray] = None,

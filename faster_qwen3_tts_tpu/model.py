@@ -116,7 +116,7 @@ class _StreamVocoder:
     construction). One instance per batch slot keeps its own code history
     and emitted-sample count."""
 
-    _CTX = 24
+    _CTX = gen_lib.CONTEXT_FRAMES
 
     def __init__(self, speech_tokenizer, codec_cfg, ref_codes: Optional[np.ndarray]):
         from .engine.fused_stream import codec_deficit
@@ -389,7 +389,7 @@ class FasterQwen3TTS:
             # Fused decode+vocode executables (the TTFA/steady-state path):
             # one per (chunk size, window ctx) with ctx growing
             # min(k*chunk, 24) — non-ICL streams never touch the host codec.
-            max_ctx = 24
+            max_ctx = gen_lib.CONTEXT_FRAMES
             ncg = self.config.talker.num_code_groups
             for chunk in dict.fromkeys(fused_chunks):
                 first = first_chunk_size or chunk
@@ -446,6 +446,25 @@ class FasterQwen3TTS:
             xvec_only=True, prefer_device=False,
         )
         logger.info("warmup: prompt-assembly jits compiled (%.1fs)", time.perf_counter() - t0)
+        # ICL device-assembly executables (_icl_block_jit + the icl=True
+        # streaming assembly): without this, the FIRST real ICL request
+        # compiles them inline — minutes through a remote compiler when the
+        # AOT disk cache is cold (ADVICE r4 #2). 90 reference frames is the
+        # serving-representative length (bench.py ICL section); other ref
+        # lengths in the same pow2 bucket reuse these executables.
+        icl_rng = np.random.default_rng(0)
+        icl_prompt = {
+            "ref_spk_embedding": [np.zeros(2048, np.float32)],
+            "x_vector_only_mode": [False], "icl_mode": [True],
+            "ref_code": [icl_rng.integers(
+                0, self.config.talker.vocab_size - 1025, size=(90, self.config.talker.num_code_groups)
+            ).astype(np.int32)],
+        }
+        self._prepare_generation(
+            warm_text, language="English", ref_text="warmup reference text",
+            voice_clone_prompt=icl_prompt, xvec_only=False,
+        )
+        logger.info("warmup: ICL prompt-assembly jits compiled (%.1fs)", time.perf_counter() - t0)
         # Keep the warmup session's device buffers alive: releasing them here
         # fires a burst of buffer-delete RPCs exactly as the first real
         # request dispatches, which reproducibly wedges this environment's
@@ -798,6 +817,7 @@ class FasterQwen3TTS:
         xvec_only: bool = False,
         non_streaming_mode: Optional[bool] = None,
         append_silence: bool = True,
+        parity_mode: bool = False,
         instruct: Optional[str] = None,
         ref_spk: Optional[Union[str, Path]] = None,
         ref_rvq: Optional[Union[str, Path]] = None,
@@ -809,21 +829,38 @@ class FasterQwen3TTS:
         """Voice-clone TTS -> ([waveform], sample_rate). Mirrors reference
         model.py:807-950. ref_spk/ref_rvq/ref_spk_emb/ref_codes are
         native-backend cached-reference fields, rejected here (reference
-        model.py:868-873)."""
+        model.py:868-873).
+
+        parity_mode: independent eager per-step decode instead of the fused
+        engine — the reference exposes the same knob on its non-streaming
+        path (reference generate.py:52-97, `fast_generate(parity_mode=True)`
+        routing through upstream `talker.generate`)."""
         self._reject_native_cached_reference_args(ref_spk, ref_rvq, ref_spk_emb, ref_codes)
         nsm = self._resolve_non_streaming_mode(non_streaming_mode, default=False)
         tie, tam, tth, tpe, ref_codes = self._prepare_generation(
             text=text, language=language, ref_audio=ref_audio, ref_text=ref_text,
             xvec_only=xvec_only, non_streaming_mode=nsm, append_silence=append_silence,
             voice_clone_prompt=voice_clone_prompt, instruct=instruct,
+            prefer_device=not parity_mode,
         )
-        codec_ids, timing = gen_lib.fast_generate(
-            self.params, self.config, tie, tam, tth, tpe,
-            max_seq_len=self.max_seq_len, max_new_tokens=max_new_tokens,
-            min_new_tokens=min_new_tokens, temperature=temperature, top_k=top_k,
-            top_p=top_p, do_sample=do_sample, repetition_penalty=repetition_penalty,
-            seed=seed, device_chunk=self.device_chunk,
-        )
+        if parity_mode:
+            from .engine import parity as parity_lib
+
+            codec_ids, timing = parity_lib.parity_generate(
+                self.params, self.config, tie, tam, tth, tpe,
+                max_seq_len=self.max_seq_len, max_new_tokens=max_new_tokens,
+                min_new_tokens=min_new_tokens, temperature=temperature, top_k=top_k,
+                top_p=top_p, do_sample=do_sample,
+                repetition_penalty=repetition_penalty, seed=seed,
+            )
+        else:
+            codec_ids, timing = gen_lib.fast_generate(
+                self.params, self.config, tie, tam, tth, tpe,
+                max_seq_len=self.max_seq_len, max_new_tokens=max_new_tokens,
+                min_new_tokens=min_new_tokens, temperature=temperature, top_k=top_k,
+                top_p=top_p, do_sample=do_sample, repetition_penalty=repetition_penalty,
+                seed=seed, device_chunk=self.device_chunk,
+            )
         if codec_ids is None:
             logger.warning("Generation returned no tokens")
             return [np.zeros(1, np.float32)], self.sample_rate
@@ -1054,7 +1091,7 @@ class FasterQwen3TTS:
 
         from .engine.fused_stream import codec_deficit
 
-        ctx = 24
+        ctx = gen_lib.CONTEXT_FRAMES
         up = self.config.codec.total_upsample
         D = codec_deficit(self.config.codec)
         all_codes: List[np.ndarray] = []

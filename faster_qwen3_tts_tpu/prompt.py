@@ -244,7 +244,10 @@ class PromptBuilder:
         # reused across requests so nothing but the token ids and a few
         # scalars crosses host->device per request.
         self._specials_device = None  # [3, H] f32 (pad, bos, eos)
-        self._codec_emb_device: Dict[bytes, Any] = {}  # padded [8, H] blocks
+        # LRU-bounded like the sibling caches: the key includes the speaker
+        # embed, so a server cloning many voices would otherwise pin a new
+        # padded [8, H] device buffer per voice forever (ADVICE r4 #1).
+        self._codec_emb_device: "OrderedDict[bytes, Any]" = OrderedDict()
         self._ref_block_dev_cache: "OrderedDict[tuple, Tuple[Any, int]]" = OrderedDict()
 
     # -- bucketed host<->device helpers --------------------------------------
@@ -516,6 +519,10 @@ class PromptBuilder:
             padded[: codec_emb.shape[0]] = codec_emb
             hit = jnp.asarray(padded)
             self._codec_emb_device[key] = hit
+            if len(self._codec_emb_device) > self._ref_prompt_cache_max:
+                self._codec_emb_device.popitem(last=False)
+        else:
+            self._codec_emb_device.move_to_end(key)
         return hit
 
     def _icl_block_device(self, rid: np.ndarray, ref_code: np.ndarray):

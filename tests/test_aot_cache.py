@@ -275,3 +275,66 @@ def test_device_init_and_quant_route_through_cache(cache_env):
         np.asarray(params2["talker"]["codec_embed"]),
     )
     assert isinstance(q["talker"]["layers"]["wq"], quant_lib.QuantizedLinear)
+
+
+def test_trace_env_flags_complete():
+    """Every FQ3T_* env var the package reads must be classified: either it
+    changes what a jitted function TRACES (then it MUST be in
+    aot._TRACE_ENV_FLAGS — toggling it between runs with FQ3T_AOT_CACHE set
+    would otherwise silently load an executable compiled with the other
+    trace), or it is shape-affecting / host-routing / load-time (covered by
+    the signature's shapes+pytree or irrelevant to compiled programs). A new
+    env read that is not classified below fails this test, forcing the
+    author to decide — this bug class has occurred twice (ADVICE r3 #1,
+    VERDICT r4 weak #1)."""
+    import re
+    from pathlib import Path
+
+    import faster_qwen3_tts_tpu as pkg
+
+    # Flags whose effect is captured by the cache signature some other way,
+    # or that never reach a compiled program:
+    SHAPE_AFFECTING = {
+        "FQ3T_TTH_BUCKET",   # changes input shapes -> per-leaf shape sig
+        "FQ3T_FUSE_QKV",     # changes the params pytree -> treedef sig
+    }
+    HOST_ROUTING = {
+        "FQ3T_AOT_CACHE", "FQ3T_AOT_CACHE_FORCE",  # the cache itself
+        "FQ3T_FUSED_VOCODE",   # picks WHICH executables run, not their trace
+        "FQ3T_DEVICE_PROMPT",  # host vs device prompt assembly routing
+        "FQ3T_DEBUG_STREAM",   # stderr logging only
+        "FQ3T_DEVICE_INIT",    # load-time weight init path selection
+        "FQ3T_DISABLE_PALLAS", # vestigial compat knob (attention is XLA-only)
+        "FQ3T_NATIVE_LIB", "FQ3T_NO_NATIVE_BUILD",  # C++ runtime discovery
+        "FQ3TTS_REF_CACHE_DIR",  # native voice-ref disk cache location
+    }
+    from faster_qwen3_tts_tpu.engine import aot
+
+    pkg_dir = Path(pkg.__file__).parent
+    found = set()
+    for path in pkg_dir.rglob("*.py"):
+        for m in re.finditer(
+            r"environ(?:\.get)?\(\s*['\"](FQ3T[A-Z0-9_]*)['\"]", path.read_text()
+        ):
+            found.add(m.group(1))
+    classified = set(aot._TRACE_ENV_FLAGS) | SHAPE_AFFECTING | HOST_ROUTING
+    unclassified = found - classified
+    assert not unclassified, (
+        f"unclassified FQ3T env reads {sorted(unclassified)}: if the flag "
+        "changes what a jitted fn traces, add it to aot._TRACE_ENV_FLAGS; "
+        "otherwise classify it in this test"
+    )
+    # and the two known trace-affecting unroll knobs stay covered:
+    assert {"FQ3T_SCAN_UNROLL", "FQ3T_PRED_UNROLL"} <= set(aot._TRACE_ENV_FLAGS)
+
+
+def test_pred_unroll_changes_signature(cache_env, monkeypatch):
+    """FQ3T_PRED_UNROLL is trace-affecting with an identical I/O signature:
+    two values must map to two distinct cache entries (VERDICT r4 weak #1)."""
+    kw = _start_kwargs()
+    aot.call("start_state", core.start_state, **kw)
+    n1 = len(os.listdir(cache_env))
+    # conftest pins FQ3T_PRED_UNROLL=1 for fast CPU tests; pick another value.
+    monkeypatch.setenv("FQ3T_PRED_UNROLL", "2")
+    aot.call("start_state", core.start_state, **_start_kwargs())
+    assert len(os.listdir(cache_env)) == n1 + 1
