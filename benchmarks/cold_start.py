@@ -38,13 +38,52 @@ def log(*a):
 # ---------------------------------------------------------------------------
 
 
+def make_checkpoint(args) -> None:
+    """Setup step (untimed): materialize a serving checkpoint on disk.
+
+    There is no trained checkpoint in this environment, so the restart
+    benchmark creates a random-init BF16 checkpoint in the framework's own
+    format once, and BOTH timed passes then load it through the real
+    serving path (`from_pretrained(dir)` -> read + quantize + one transfer).
+    Round 4 instead re-ran the device-side benchmark init every pass, whose
+    remote programs cost 100-250 s of tunnel-variance noise per restart and
+    dominated every warm number (VERDICT r4 next #1)."""
+    import jax.numpy as jnp
+
+    from faster_qwen3_tts_tpu import weights as weights_lib
+    from faster_qwen3_tts_tpu.config import get_config, tiny_test_config
+
+    if args.tiny:
+        cfg = tiny_test_config()
+    else:
+        name = {
+            "0.6b": "Qwen/Qwen3-TTS-12Hz-0.6B-Base",
+            "1.7b": "Qwen/Qwen3-TTS-12Hz-1.7B-Base",
+        }[args.model]
+        cfg = get_config(name)
+    t0 = time.time()
+    params = weights_lib.init_all(
+        cfg, seed=0, dtype=jnp.float32 if args.tiny else jnp.bfloat16,
+        device_put=False,
+    )
+    # Pre-quantized deploy bundle: the serving restart then skips host
+    # quantization AND pays exactly one device transfer (weights.py
+    # save_deploy_bundle docstring).
+    from faster_qwen3_tts_tpu.ops import quant as quant_lib
+
+    mode = quant_lib.resolve_quant_name("BF16" if args.tiny else args.quant)
+    if mode != "none":
+        params = quant_lib.quantize_model_params(params, mode)
+    weights_lib.save_deploy_bundle(args.ckpt_dir, params, cfg, quant_mode=mode)
+    log(f"deploy bundle written to {args.ckpt_dir} in {time.time() - t0:.1f}s")
+
+
 def run_child(args) -> None:
     t0 = float(os.environ["FQ3T_COLDSTART_T0"])  # parent's spawn timestamp
 
     def stage(name):
         log(f"  stage {name}: {time.time() - t0:.1f}s")
 
-    os.environ.setdefault("FQ3T_DEVICE_INIT", "1")
     import logging
 
     logging.basicConfig(level=logging.INFO, stream=sys.stderr)
@@ -55,26 +94,11 @@ def run_child(args) -> None:
 
     from faster_qwen3_tts_tpu.model import FasterQwen3TTS
 
-    if args.tiny:
-        import jax.numpy as jnp
-
-        from faster_qwen3_tts_tpu import weights as weights_lib
-        from faster_qwen3_tts_tpu.config import tiny_test_config
-        from faster_qwen3_tts_tpu.utils.tokenizer import ByteTokenizer, PromptTokenizer
-
-        cfg = tiny_test_config()
-        params = weights_lib.init_all(cfg, seed=0, dtype=jnp.float32)
-        model = FasterQwen3TTS(
-            params, cfg, PromptTokenizer(ByteTokenizer()), max_seq_len=256
-        )
-    else:
-        name = {
-            "0.6b": "Qwen/Qwen3-TTS-12Hz-0.6B-Base",
-            "1.7b": "Qwen/Qwen3-TTS-12Hz-1.7B-Base",
-        }[args.model]
-        model = FasterQwen3TTS.from_pretrained(
-            name, max_seq_len=2048, quant=args.quant
-        )
+    model = FasterQwen3TTS.from_pretrained(
+        args.ckpt_dir,
+        max_seq_len=256 if args.tiny else 2048,
+        quant="BF16" if args.tiny else args.quant,
+    )
     load_done = time.time() - t0
     stage("model_loaded")
 
@@ -114,6 +138,9 @@ def run_child(args) -> None:
         "load_s": round(load_done, 1),
         "warmup_s": round(warm_done - load_done, 1),
         "first_request_s": round(first_audio - warm_done, 1),
+        # Per-phase attribution below load_s / warmup_s (VERDICT r4 next #1)
+        "load_phases": getattr(model, "load_phases", {}),
+        "warmup_phases": getattr(model, "warmup_phases", {}),
     }), flush=True)
 
 
@@ -138,7 +165,8 @@ def run_pass(args, label: str, cache_dir: str, timeout_s: float):
         # actually keeps the child on CPU (same dance as __graft_entry__).
         env.pop("PALLAS_AXON_POOL_IPS", None)
     cmd = [sys.executable, os.path.abspath(__file__), "--child",
-           "--model", args.model, "--quant", args.quant]
+           "--model", args.model, "--quant", args.quant,
+           "--ckpt-dir", args.ckpt_dir]
     if args.tiny:
         cmd.append("--tiny")
     log(f"[{label}] starting child (cache={cache_dir})")
@@ -157,18 +185,41 @@ def run_pass(args, label: str, cache_dir: str, timeout_s: float):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--child", action="store_true")
+    ap.add_argument("--make-ckpt", action="store_true")
     ap.add_argument("--model", default="0.6b", choices=["0.6b", "1.7b"])
     ap.add_argument("--quant", default="Q8_0")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny geometry (CPU smoke; set FQ3T_AOT_CACHE_FORCE=1)")
     ap.add_argument("--cache-dir", default=None,
                     help="AOT cache dir (default: fresh temp dir)")
+    ap.add_argument("--ckpt-dir", default=None,
+                    help="serving checkpoint dir (default: /tmp/fq3t_ckpt_<model>, "
+                         "created once if absent)")
     ap.add_argument("--timeout", type=float, default=1800.0)
     args = ap.parse_args()
 
+    if args.ckpt_dir is None:
+        args.ckpt_dir = f"/tmp/fq3t_ckpt_{'tiny' if args.tiny else args.model}"
+
+    if args.make_ckpt:
+        make_checkpoint(args)
+        return
     if args.child:
         run_child(args)
         return
+
+    # Setup (untimed): the serving checkpoint both passes load.
+    if not os.path.exists(os.path.join(args.ckpt_dir, "bundle.bin")):
+        log(f"[setup] creating deploy bundle at {args.ckpt_dir} (untimed, once)")
+        env = dict(os.environ)
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--make-ckpt",
+             "--model", args.model, "--quant", args.quant,
+             "--ckpt-dir", args.ckpt_dir] + (["--tiny"] if args.tiny else []),
+            env=env, check=True, timeout=1800.0,
+        )
 
     cache = args.cache_dir or tempfile.mkdtemp(prefix="fq3t_coldstart_")
     fresh = not os.listdir(cache) if os.path.isdir(cache) else True

@@ -49,6 +49,11 @@ _SCHEMA = "fq3t-aot-v2"  # v2: +device count, +per-leaf shardings
 _lock = threading.Lock()
 _loaded: Dict[str, Any] = {}
 
+# Monotonic counters for callers that adapt to cache state (warmup blocks
+# between dispatches only when a compile/disk-load actually happened —
+# preloaded executables pipeline without per-step fetches).
+STATS = {"compiles": 0, "disk_loads": 0, "mem_hits": 0}
+
 
 def cache_dir() -> Optional[str]:
     """The cache directory, or None when disabled.
@@ -159,6 +164,8 @@ def call(name: str, jit_fn, **kwargs):
         exe = _load_or_compile(d, sig, name, jit_fn, kwargs)
         with _lock:
             _loaded[sig] = exe
+    else:
+        STATS["mem_hits"] += 1
     # The compiled executable takes only the non-static parameters; statics
     # were baked at lowering. Passing all kwargs raises a TypeError for the
     # baked ones, so filter by the executable's recorded input names.
@@ -207,6 +214,7 @@ def _load_from_disk(path: str, name: str):
         )
         exe._fq3t_dynamic_names = frozenset(dynamic_names)
         exe._fq3t_from_cache = True
+        STATS["disk_loads"] += 1
         logger.info("aot cache HIT %s (%s, load %.2fs)",
                     name, os.path.basename(path), _time.perf_counter() - t0)
         return exe
@@ -265,6 +273,7 @@ def _load_or_compile(d: str, sig: str, name: str, jit_fn, kwargs):
         if exe is not None:
             return exe
     exe = jit_fn.lower(**kwargs).compile()
+    STATS["compiles"] += 1
     dynamic_names = _dynamic_names(jit_fn, kwargs)
     exe._fq3t_dynamic_names = dynamic_names
     try:

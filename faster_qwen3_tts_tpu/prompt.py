@@ -260,7 +260,10 @@ class PromptBuilder:
         b = _bucket(L)
         padded = np.zeros((1, b), np.int32)
         padded[:, :L] = ids
-        out = _text_hidden_jit(self.params["talker"], jnp.asarray(padded))
+        from .engine import aot
+
+        out = aot.call("text_hidden", _text_hidden_jit,
+                       tparams=self.params["talker"], ids=jnp.asarray(padded))
         # fetch-then-slice: eager device indexing would dispatch a tiny
         # one-off program per call (slow/wedge-prone on remote backends)
         return np.asarray(out, np.float32)[0, :L]
@@ -275,7 +278,10 @@ class PromptBuilder:
         b = _bucket(L, lo=8)
         padded = np.zeros((1, b), np.int32)
         padded[:, :L] = ids
-        out = _codec_embed_jit(self.params["talker"], jnp.asarray(padded))
+        from .engine import aot
+
+        out = aot.call("codec_embed", _codec_embed_jit,
+                       tparams=self.params["talker"], ids=jnp.asarray(padded))
         result = np.asarray(out, np.float32)[0, :L]
         self._codec_embed_cache[key] = result
         return result
@@ -286,7 +292,11 @@ class PromptBuilder:
         b = _bucket(T)
         padded = np.zeros((1, b, codes.shape[1]), np.int32)
         padded[0, :T] = codes
-        out = _frame_embeds_jit(self.params["talker"], self.params["predictor"], jnp.asarray(padded))
+        from .engine import aot
+
+        out = aot.call("frame_embeds", _frame_embeds_jit,
+                       tparams=self.params["talker"],
+                       pparams=self.params["predictor"], codes=jnp.asarray(padded))
         return np.asarray(out, np.float32)[0, :T]
 
     def _h(self) -> int:
@@ -308,7 +318,11 @@ class PromptBuilder:
         hit = self._xvec_cache.get(key)
         if hit is not None:
             return hit
-        out = _speaker_proj_jit(self.params["talker"], jnp.asarray(xvec.reshape(1, -1), jnp.float32))
+        from .engine import aot
+
+        out = aot.call("speaker_proj", _speaker_proj_jit,
+                       tparams=self.params["talker"],
+                       xvec=jnp.asarray(xvec.reshape(1, -1), jnp.float32))
         result = np.asarray(out, np.float32)[0]
         self._xvec_cache[key] = result
         return result

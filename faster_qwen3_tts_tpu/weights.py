@@ -172,13 +172,18 @@ def _set_deep(tree: Any, keys, value):
 
 
 def _unflatten(flat: Dict[str, np.ndarray]) -> Any:
+    """Rebuild the pytree HOST-side (numpy leaves). A previous version did
+    `jnp.asarray` per leaf here — 188 eager device transfers at ~0.35 s each
+    through a tunneled runtime, the entire 115 s "checkpoint read" phase of
+    the round-4 warm-restart capture. Device placement now happens in ONE
+    packed transfer (`pack_transfer`) after optional quantization."""
+    import ml_dtypes
+
     root: Dict[str, Any] = {}
     for name, arr in flat.items():
         if name.endswith("@bf16"):
             name = name[: -len("@bf16")]
-            arr = jnp.asarray(arr.view(np.uint16), dtype=jnp.uint16).view(jnp.bfloat16)
-        else:
-            arr = jnp.asarray(arr)
+            arr = arr.view(ml_dtypes.bfloat16)
         _set_deep(root, name.split("/"), arr)
     return root
 
@@ -213,13 +218,233 @@ def is_own_checkpoint(path: str) -> bool:
 
 
 def load_pretrained(path: str):
-    """Load a checkpoint saved by save_pretrained -> (params, cfg)."""
+    """Load a checkpoint saved by save_pretrained -> (params, cfg).
+    Leaves are HOST numpy; callers device-place via pack_transfer."""
     from safetensors.numpy import load_file
 
     flat = load_file(os.path.join(path, "model.safetensors"))
     with open(os.path.join(path, "config.json")) as f:
         cfg = config_from_dict(json.load(f))
     return _unflatten(flat), cfg
+
+
+# ---------------------------------------------------------------------------
+# Packed single-buffer device transfer + deploy bundles
+#
+# Through a tunneled PJRT runtime every host->device transfer costs ~0.35 s
+# of per-RPC latency regardless of size, while ONE large buffer streams at
+# ~500 MB/s (measured on this v5e tunnel). A 188-leaf parameter tree
+# therefore takes minutes leaf-by-leaf but seconds as one blob. These
+# helpers concatenate every leaf's raw bytes into a single uint8 buffer,
+# ship it with ONE device_put, and re-slice/bitcast/reshape the leaves in a
+# single jitted (AOT-cacheable) program on device. Works for quantized
+# trees too (QuantizedLinear/QuantizedLinear4 nodes are encoded in the key
+# path). `save_deploy_bundle`/`load_deploy_bundle` persist the packed form
+# (optionally pre-quantized), making a serving restart: read one file ->
+# one transfer -> one unpack program.
+# ---------------------------------------------------------------------------
+
+_QL8_MARK = "@ql8"
+_QL4_MARK = "@ql4"
+
+
+def _flatten_typed(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
+    """_flatten that also encodes quantized NamedTuple nodes in the path."""
+    from .ops import quant as quant_lib
+
+    if isinstance(tree, quant_lib.QuantizedLinear):
+        base = prefix[:-1] + _QL8_MARK
+        return {
+            **_flatten_typed(tree.q, f"{base}/q/"),
+            **_flatten_typed(tree.scale, f"{base}/scale/"),
+        }
+    if isinstance(tree, quant_lib.QuantizedLinear4):
+        base = prefix[:-1] + _QL4_MARK
+        return {
+            **_flatten_typed(tree.packed, f"{base}/packed/"),
+            **_flatten_typed(tree.scale, f"{base}/scale/"),
+            **_flatten_typed(tree.wmin, f"{base}/wmin/"),
+        }
+    if isinstance(tree, dict):
+        out: Dict[str, np.ndarray] = {}
+        for k in sorted(tree):
+            out.update(_flatten_typed(tree[k], f"{prefix}{k}/"))
+        return out
+    if isinstance(tree, (list, tuple)):
+        out = {}
+        for i, v in enumerate(tree):
+            out.update(_flatten_typed(v, f"{prefix}{i}/"))
+        return out
+    return {prefix[:-1]: np.asarray(tree)}
+
+
+def _rebuild_typed(flat: Dict[str, Any]) -> Any:
+    """Inverse of _flatten_typed: leaves may be numpy OR device arrays."""
+    from .ops import quant as quant_lib
+
+    root: Dict[str, Any] = {}
+    for name, arr in flat.items():
+        _set_deep(root, name.split("/"), arr)
+
+    def convert(node):
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                v = convert(v)
+                if k.endswith(_QL8_MARK):
+                    out[k[: -len(_QL8_MARK)]] = quant_lib.QuantizedLinear(
+                        q=v["q"], scale=v["scale"]
+                    )
+                elif k.endswith(_QL4_MARK):
+                    out[k[: -len(_QL4_MARK)]] = quant_lib.QuantizedLinear4(
+                        packed=v["packed"], scale=v["scale"], wmin=v["wmin"]
+                    )
+                else:
+                    out[k] = v
+            return out
+        if isinstance(node, list):
+            return [convert(v) for v in node]
+        return node
+
+    return convert(root)
+
+
+def _np_dtype(dt: str) -> np.dtype:
+    # "bfloat16" resolves through jnp (ml_dtypes); the rest are numpy names
+    return np.dtype(getattr(jnp, dt)) if hasattr(jnp, dt) else np.dtype(dt)
+
+
+def _pack_blobs(flat: Dict[str, np.ndarray]):
+    """-> (blobs {dtype_str: typed 1-D array}, manifest of
+    (key, dtype, shape, elem_offset)). One mega-array PER DTYPE: a uint8
+    blob + on-device bitcast was tried first, but TPU tile padding turns a
+    [n, itemsize] uint8 reshape into a 32x HBM blowup (57 GB for a 1.8 GB
+    tree — compile-time OOM). Typed blobs need zero bitcasts: the unpack is
+    pure slice+reshape."""
+    order: Dict[str, list] = {}
+    for key, arr in flat.items():
+        order.setdefault(str(arr.dtype), []).append(key)
+    entries = []
+    blobs: Dict[str, np.ndarray] = {}
+    for dt, keys in order.items():
+        offset = 0
+        parts = []
+        for key in keys:
+            arr = np.ascontiguousarray(flat[key])
+            entries.append((key, dt, tuple(arr.shape), offset))
+            offset += arr.size
+            parts.append(arr.reshape(-1))
+        blobs[dt] = np.concatenate(parts) if parts else np.empty(0, _np_dtype(dt))
+    return blobs, tuple(entries)
+
+
+def _blob_kw(dt: str) -> str:
+    return "b_" + dt
+
+
+def _unpack_jit_factory(manifest, donate: bool = True):
+    """Jitted unpack: per-dtype blobs -> list of leaves (manifest order).
+    The manifest is baked into the trace (it IS the program), so the AOT
+    cache name carries its digest — two geometries never share an entry."""
+    import jax
+
+    dts = sorted({dt for (_k, dt, _s, _o) in manifest})
+
+    def unpack(**blobs):
+        out = []
+        for (_key, dt, shape, off) in manifest:
+            n = int(np.prod(shape, dtype=np.int64)) if shape else 1
+            seg = jax.lax.slice(blobs[_blob_kw(dt)], (off,), (off + n,))
+            out.append(seg.reshape(shape))
+        return out
+
+    return jax.jit(unpack, donate_argnames=tuple(_blob_kw(d) for d in dts) if donate else ())
+
+
+def _device_unpack(blobs: Dict[str, np.ndarray], manifest, sharding=None) -> Any:
+    import jax
+
+    from .engine import aot
+
+    dev = {
+        _blob_kw(dt): (jax.device_put(b) if sharding is None else jax.device_put(b, sharding))
+        for dt, b in blobs.items()
+    }
+    digest = hashlib.sha256(repr(manifest).encode()).hexdigest()[:16]
+    leaves = aot.call(f"unpack_weights-{digest}", _unpack_jit_factory(manifest), **dev)
+    return _rebuild_typed({key: leaf for (key, *_), leaf in zip(manifest, leaves)})
+
+
+def pack_transfer(params: Any, sharding=None) -> Any:
+    """Device-place a host parameter tree with ONE transfer per dtype (3-4
+    total) + one unpack program, instead of one RPC per leaf (~0.35 s each
+    through tunneled runtimes; 188 leaves = minutes vs ~500 MB/s streamed).
+
+    sharding: optional target sharding for the blobs (single-device serving
+    passes None; replicated-weight cases may pass a NamedSharding)."""
+    flat = _flatten_typed(params)
+    blobs, manifest = _pack_blobs(flat)
+    return _device_unpack(blobs, manifest, sharding)
+
+
+_BUNDLE_VERSION = 2
+
+
+def is_deploy_bundle(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "bundle.bin")) and os.path.exists(
+        os.path.join(path, "bundle.json")
+    )
+
+
+def save_deploy_bundle(path: str, params: Any, cfg: Qwen3TTSConfig,
+                       quant_mode: str = "none") -> None:
+    """Persist params (optionally already quantized) in packed form.
+
+    A restart then costs: one file read + one device transfer + one unpack
+    program — the serving-grade warm path (the reference's warmup is
+    seconds because its weights are already resident; this is the closest a
+    fresh process can get)."""
+    os.makedirs(path, exist_ok=True)
+    flat = _flatten_typed(params)
+    blobs, manifest = _pack_blobs(flat)
+    sections = {}
+    align = 128
+    offset = 0
+    with open(os.path.join(path, "bundle.bin"), "wb") as f:
+        for dt in sorted(blobs):
+            pad = (-offset) % align
+            f.write(b"\0" * pad)
+            offset += pad
+            raw = blobs[dt].view(np.uint8)
+            sections[dt] = [offset, int(blobs[dt].size)]
+            f.write(raw.tobytes())
+            offset += raw.size
+    with open(os.path.join(path, "bundle.json"), "w") as f:
+        json.dump({
+            "version": _BUNDLE_VERSION,
+            "quant": quant_mode,
+            "sections": sections,
+            "entries": [list(e) for e in manifest],
+            "config": _config_to_dict(cfg),
+        }, f)
+
+
+def load_deploy_bundle(path: str):
+    """-> (device params, cfg, quant_mode). One file read, one transfer per
+    dtype section, one unpack program (AOT-cached across restarts)."""
+    with open(os.path.join(path, "bundle.json")) as f:
+        meta = json.load(f)
+    if meta.get("version") != _BUNDLE_VERSION:
+        raise ValueError(f"unsupported bundle version {meta.get('version')}")
+    cfg = config_from_dict(meta["config"])
+    manifest = tuple((k, dt, tuple(sh), off) for k, dt, sh, off in meta["entries"])
+    raw = np.fromfile(os.path.join(path, "bundle.bin"), dtype=np.uint8)
+    blobs = {}
+    for dt, (byte_off, n) in meta["sections"].items():
+        dtype = _np_dtype(dt)
+        blobs[dt] = raw[byte_off : byte_off + n * dtype.itemsize].view(dtype)
+    params = _device_unpack(blobs, manifest)
+    return params, cfg, meta.get("quant", "none")
 
 
 def _config_to_dict(cfg: Qwen3TTSConfig) -> dict:

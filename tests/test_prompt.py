@@ -187,13 +187,13 @@ def test_icl_ref_prompt_cache_skips_device_calls(tiny_config, monkeypatch):
     calls = {"text": 0, "frame": 0}
     orig_text, orig_frame = prompt_mod._text_hidden_jit, prompt_mod._frame_embeds_jit
 
-    def count_text(*a):
+    def count_text(*a, **kw):
         calls["text"] += 1
-        return orig_text(*a)
+        return orig_text(*a, **kw)
 
-    def count_frame(*a):
+    def count_frame(*a, **kw):
         calls["frame"] += 1
-        return orig_frame(*a)
+        return orig_frame(*a, **kw)
 
     monkeypatch.setattr(prompt_mod, "_text_hidden_jit", count_text)
     monkeypatch.setattr(prompt_mod, "_frame_embeds_jit", count_frame)
