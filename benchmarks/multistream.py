@@ -99,6 +99,85 @@ def main_e2e(args):
     print(json.dumps(out))
 
 
+def main_continuous(args):
+    """Staggered admission through ContinuousBatcher (VERDICT r4 next #6).
+
+    Requests ARRIVE over time (spaced --arrival-ms apart, a serving arrival
+    process, not a synthetic all-at-t0 burst) and each joins the RUNNING
+    batch at the next chunk boundary: per-stream TTFA is measured from its
+    own submit. Contrast row: the lockstep batched API admits all B prompts
+    at once, so every stream's TTFA carries all B prefills + the widest
+    first chunk (the 101->515 ms degradation in the r4 e2e capture)."""
+    import threading
+
+    from common import DEFAULT_TEXT, load_model, save_results, xvec_prompt
+
+    model = load_model(args.model, args.quant)
+    model.warmup(prefill_len=64, chunk_sizes=(args.chunk,), first_chunk_size=4)
+
+    texts = [
+        DEFAULT_TEXT,
+        "A second, slightly different sentence keeps the prompts distinct.",
+        "Stream three reads a third text so the lockstep batch is honest.",
+        "The fourth stream gets its own words too, for the same reason.",
+    ]
+    rows = []
+    for B in [int(b) for b in args.batches.split(",")]:
+        requests = [
+            {"text": texts[s % len(texts)], "xvec_only": True,
+             "voice_clone_prompt": xvec_prompt(seed=s)}
+            for s in range(B)
+        ]
+
+        def run_once(seed):
+            cb = model.continuous_batcher(
+                max_slots=B, chunk_size=args.chunk,
+                max_new_tokens=args.frames, seed=seed,
+            )
+            t0 = time.perf_counter()
+
+            def feeder():
+                for i, r in enumerate(requests):
+                    delay = t0 + i * args.arrival_ms / 1000.0 - time.perf_counter()
+                    if delay > 0:
+                        time.sleep(delay)
+                    cb.submit(r)
+                cb.close()
+
+            th = threading.Thread(target=feeder, daemon=True)
+            th.start()
+            ttfa, samples, frames = {}, {}, {}
+            for sid, audio, sr, timing in cb.run(wait=True):
+                ttfa.setdefault(sid, timing["ttfa_from_submit_ms"])
+                samples[sid] = samples.get(sid, 0) + len(audio)
+                frames[sid] = timing["total_steps_so_far"]
+            th.join()
+            wall = time.perf_counter() - t0
+            audio_s = np.array([samples[s] for s in sorted(samples)]) / model.sample_rate
+            return list(ttfa.values()), audio_s, wall
+
+        run_once(0)  # warm the B-shaped executables (incl. insert_slot)
+        ttfas, aggs = [], []
+        for r in range(args.runs):
+            tt, audio_s, wall = run_once(r + 1)
+            ttfas.extend(tt)
+            aggs.append(float(audio_s.sum() / wall))
+        rows.append({
+            "batch": B,
+            "arrival_ms": args.arrival_ms,
+            "ttfa_from_submit_ms_p50": round(float(np.median(ttfas)), 1),
+            "ttfa_from_submit_ms_max": round(float(np.max(ttfas)), 1),
+            "rtf_aggregate": round(float(np.median(aggs)), 2),
+            "runs": args.runs,
+        })
+        print(f"B={B}: {rows[-1]}", file=sys.stderr, flush=True)
+
+    out = {"model": args.model, "quant": args.quant, "chunk": args.chunk,
+           "frames": args.frames, "mode": "continuous", "rows": rows}
+    save_results("multistream_continuous", out)
+    print(json.dumps(out))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="0.6b", choices=["0.6b", "1.7b"])
@@ -109,10 +188,17 @@ def main():
     ap.add_argument("--prefill", type=int, default=64)
     ap.add_argument("--e2e", action="store_true",
                     help="public-API end-to-end (decode + vocode + TTFA)")
+    ap.add_argument("--continuous", action="store_true",
+                    help="staggered admission via ContinuousBatcher")
+    ap.add_argument("--arrival-ms", type=float, default=150.0,
+                    help="spacing between request arrivals (continuous mode)")
     ap.add_argument("--runs", type=int, default=3, help="timed e2e runs per B")
     ap.add_argument("--frames", type=int, default=96, help="max frames per e2e stream")
     args = ap.parse_args()
 
+    if args.continuous:
+        main_continuous(args)
+        return
     if args.e2e:
         main_e2e(args)
         return

@@ -111,6 +111,50 @@ def start_state(
     return state, logits
 
 
+@functools.partial(jax.jit, donate_argnames=("state",))
+def insert_slot(
+    state: DecodeState,
+    slot_state: DecodeState,
+    slot: jax.Array,  # () int32 target lane
+) -> DecodeState:
+    """Insert a freshly-prefilled B=1 stream into lane `slot` of a running
+    batch state — the continuous-batching primitive (VERDICT r4 next #6):
+    a new request joins at a chunk boundary instead of cold-starting every
+    lane's prefill in lockstep. All per-lane fields are dynamic-slice
+    updates; the batch KV cache is donated, so XLA rewrites the one lane in
+    place. `slot_state` must come from the same (max_seq, vocab) geometry
+    (the standard B=1 `start_state` output)."""
+    z = jnp.zeros((), jnp.int32)
+
+    def lane(dst, src, batch_dim):
+        idx = tuple(slot if d == batch_dim else z for d in range(src.ndim))
+        return jax.lax.dynamic_update_slice(dst, src.astype(dst.dtype), idx)
+
+    return DecodeState(
+        cache=KVCache(
+            k=lane(state.cache.k, slot_state.cache.k, 1),
+            v=lane(state.cache.v, slot_state.cache.v, 1),
+        ),
+        pos=lane(state.pos, slot_state.pos, 0),
+        num_pads=lane(state.num_pads, slot_state.num_pads, 0),
+        token=lane(state.token, slot_state.token, 0),
+        past_hidden=lane(state.past_hidden, slot_state.past_hidden, 0),
+        gen_step=lane(state.gen_step, slot_state.gen_step, 0),
+        seen=lane(state.seen, slot_state.seen, 0),
+        key=state.key,  # one PRNG chain per batch; lanes share splits
+        done=lane(state.done, slot_state.done, 0),
+        n_frames=lane(state.n_frames, slot_state.n_frames, 0),
+    )
+
+
+@functools.partial(jax.jit, donate_argnames=("state",))
+def release_slot(state: DecodeState, slot: jax.Array) -> DecodeState:
+    """Mark lane `slot` done (its frames mask invalid until re-used): the
+    host-side budget stop / cancel for continuous batching."""
+    done = state.done.at[slot].set(True)
+    return state._replace(done=done)
+
+
 def _decode_frame(
     talker_params,
     pred_params,

@@ -566,6 +566,19 @@ class FasterQwen3TTS:
     def _warmup(self, prefill_len: int) -> None:
         self.warmup(prefill_len=prefill_len)
 
+    # ------------------------------------------------------ continuous batch
+
+    def _make_stream_vocoder(self, ref_codes: Optional[np.ndarray]) -> "_StreamVocoder":
+        return _StreamVocoder(self._speech_tokenizer, self.config.codec, ref_codes)
+
+    def continuous_batcher(self, **kwargs):
+        """A ContinuousBatcher over this model: requests join a RUNNING
+        batch at chunk boundaries instead of lockstep prefills (serving.py;
+        the admission-control serving mode)."""
+        from .serving import ContinuousBatcher
+
+        return ContinuousBatcher(self, **kwargs)
+
     # -------------------------------------------------------------- plumbing
 
     @property
