@@ -146,6 +146,8 @@ class GenerationSession:
         t_bucket = tth_bucket(trailing_text.shape[1])
         tth_b = _pad_trailing(trailing_text, tts_pad_embed, t_bucket)
 
+        self.mesh = mesh
+        self._dp_axis = None
         if mesh is not None:
             # Multi-chip: batch over dp (if divisible), everything else
             # replicated — GSPMD propagates the KV/activation shardings from
@@ -154,6 +156,7 @@ class GenerationSession:
 
             B = tie_b.shape[0]
             dp = "dp" if B % mesh.shape["dp"] == 0 and mesh.shape["dp"] > 1 else None
+            self._dp_axis = dp
             put = lambda a, spec: jax.device_put(a, NamedSharding(mesh, spec))
             self.tie = put(jnp.asarray(tie_b, dtype), PS(dp, None, None))
             self.mask = put(jnp.asarray(mask_b, jnp.int32), PS(dp, None))
@@ -237,21 +240,36 @@ class GenerationSession:
 
     # -- fused decode+vocode streaming (engine/fused_stream.py) ---------------
 
+    def _put_hist(self, arr: np.ndarray) -> jax.Array:
+        """Commit a codec-history window, dp-sharded under a mesh so the
+        fused vocode executable partitions its batch lanes like the decode
+        state (GSPMD propagates from the inputs)."""
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as PS
+
+            return jax.device_put(
+                jnp.asarray(arr, jnp.int32),
+                NamedSharding(self.mesh, PS(self._dp_axis, None, None)),
+            )
+        return jnp.asarray(arr, jnp.int32)
+
     def set_codec_history(self, frames: np.ndarray, ctx: int) -> None:
         """Upload the rolling codec context window (last `ctx` frames)."""
-        self.hist = jnp.asarray(frames[-ctx:][None], jnp.int32)
+        self.hist = self._put_hist(frames[-ctx:][None])
 
     def set_codec_history_batch(self, frames_b: np.ndarray, ctx: int) -> None:
         """Per-slot context windows for batched fused vocode: frames_b
         [B, >=ctx, 16] (each slot's own history/ICL-reference tail)."""
-        self.hist = jnp.asarray(frames_b[:, -ctx:], jnp.int32)
+        self.hist = self._put_hist(frames_b[:, -ctx:])
 
     def decode_chunk_fused_async(self, chunk_size: int, ctx: int) -> jax.Array:
         from . import fused_stream
 
         if ctx == 0:
             B = self.tie.shape[0]
-            hist = jnp.zeros((B, 1, self.cfg.talker.num_code_groups), jnp.int32)
+            hist = self._put_hist(
+                np.zeros((B, 1, self.cfg.talker.num_code_groups), np.int32)
+            )
         else:
             hist = self.hist
         self.state, self.hist, flat = fused_stream.decode_chunk_fused(
@@ -492,10 +510,12 @@ def fast_generate_streaming_batch(
 
     B = tie.shape[0]
     refs = list(ref_codes_list) if ref_codes_list is not None else [None] * B
-    # Fused vocode stays single-chip for now: the codec window executable is
-    # compiled without sharding annotations, so under a (dp, tp) mesh the
-    # host per-slot vocoders keep serving (frames replicate host-side anyway).
-    fused_enabled = os.environ.get("FQ3T_FUSED_VOCODE", "1") != "0" and mesh is None
+    # Fused vocode under a (dp, tp) mesh too: the hist/packed inputs carry dp
+    # shardings (GenerationSession._put_hist), so GSPMD partitions the
+    # B-lane windowed vocode across dp exactly like the decode state — one
+    # dispatch + one fetch per chunk for the whole batch instead of B
+    # sequential host codec decodes (VERDICT r4 next #5).
+    fused_enabled = os.environ.get("FQ3T_FUSED_VOCODE", "1") != "0"
     icl_fused = fused_enabled and all(
         r is not None and r.shape[0] >= context_frames for r in refs
     )
