@@ -69,6 +69,32 @@ def test_strict_raises_on_missing_tensor(tiny_config, tmp_path):
         )
 
 
+def test_strict_error_carries_per_submodel_coverage(tiny_config, tmp_path):
+    """A strict failure names WHICH submodel is undercovered (VERDICT r4
+    next #2): the error message and .coverage dict carry matched/requested
+    counts per submodel, so a real checkpoint whose codec-encoder layout
+    differs fails as 'codec_encoder N/M', not a wall of unmapped keys."""
+    from safetensors.numpy import load_file, save_file
+
+    src = _full_params(tiny_config)
+    weights_lib.export_hf_layout(src, tiny_config, str(tmp_path))
+    f = os.path.join(str(tmp_path), "model.safetensors")
+    flat = load_file(f)
+    flat.pop("talker.codec_head.weight")
+    save_file(flat, f)
+    with pytest.raises(StrictLoadError, match="Per-submodel coverage") as ei:
+        weights_lib.load_hf_checkpoint(
+            str(tmp_path), tiny_config, dtype=jnp.float32, strict=True, device_put=False
+        )
+    cov = ei.value.coverage
+    assert set(cov) == {"talker", "predictor", "codec", "speaker_encoder", "codec_encoder"}
+    t_match, t_req = (int(x) for x in cov["talker"].split("/"))
+    assert t_match == t_req - 1  # exactly the one popped tensor
+    for sub in ("predictor", "codec", "speaker_encoder", "codec_encoder"):
+        m, r = (int(x) for x in cov[sub].split("/"))
+        assert m == r, (sub, cov[sub])
+
+
 def test_strict_raises_on_shape_mismatch(tiny_config, tmp_path):
     from safetensors.numpy import load_file, save_file
 
