@@ -54,6 +54,7 @@ ALLOWED_CHUNK_SIZES = frozenset({4, 8, 12})
 # executor-thread mp3 path (asyncio locks don't span plain threads).
 _engine_tlock = threading.Lock()
 _scheduler = None  # BatchScheduler when --batch > 1
+_continuous = None  # ContinuousScheduler when --continuous > 1
 _voices = {}
 
 
@@ -173,6 +174,84 @@ class BatchScheduler:
             terminal_put(job.out_q, None)
 
 
+class ContinuousScheduler:
+    """Admission-control serving (serving.ContinuousBatcher): a request joins
+    the RUNNING batch at the next chunk boundary instead of waiting for a
+    micro-batch window or for all B lockstep prefills. One daemon thread owns
+    the chunk pump (`run(wait=True)`); per-request chunks fan out to per-job
+    queues by stream id.
+
+    Failure domain is smaller than BatchScheduler's: a request whose voice
+    config is broken fails at its own admission; the pump is restarted with a
+    fresh batcher and every in-flight job gets the error (their lane state
+    lives in the dead batcher), but FUTURE requests are unaffected.
+
+    chunk_size is fixed per batcher (it is a compile-shape constant of the
+    shared decode executable), so per-request chunk_size is ignored here."""
+
+    def __init__(self, model, max_slots: int, chunk_size: int = 8):
+        self.model = model
+        self.max_slots = max_slots
+        self.chunk_size = chunk_size
+        self._jobs: dict = {}
+        self._lock = threading.Lock()
+        self._make_batcher()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def _make_batcher(self) -> None:
+        self.cb = self.model.continuous_batcher(
+            max_slots=self.max_slots, chunk_size=self.chunk_size
+        )
+
+    def submit(self, job: _BatchJob) -> None:
+        with self._lock:
+            sid = self.cb.submit(job.request)
+            self._jobs[sid] = job
+
+    def _loop(self) -> None:
+        # No _engine_tlock here: the pump never returns, and in continuous
+        # mode EVERY request (including mp3) is routed through the batcher,
+        # so there is no competing engine user to serialize against.
+        while True:
+            try:
+                for sid, audio, _sr, timing in self.cb.run(wait=True):
+                    with self._lock:
+                        job = self._jobs.get(sid)
+                    if job is None:
+                        continue
+                    if not job.cancelled:
+                        try:
+                            job.out_q.put(float_to_pcm16(audio), timeout=30)
+                        except queue.Full:
+                            job.cancelled = True
+                    if timing.get("is_final"):
+                        terminal_put(job.out_q, None)
+                        with self._lock:
+                            self._jobs.pop(sid, None)
+                return  # run() only exits after close(); server never closes
+            except Exception as e:  # pragma: no cover - defensive
+                logger.exception("continuous pump failed; restarting batcher")
+                with self._lock:
+                    dead, self._jobs = self._jobs, {}
+                    self._make_batcher()
+                for job in dead.values():
+                    terminal_put(job.out_q, e)
+
+
+def _voice_request(text: str, voice: dict) -> dict:
+    """The engine-batch request dict for a resolved voice (shared by the
+    lockstep and continuous schedulers)."""
+    return {
+        "text": text,
+        "language": voice.get("language", "English"),
+        "ref_audio": voice.get("ref_audio"),
+        "ref_text": voice.get("ref_text", ""),
+        "xvec_only": bool(voice.get("xvec_only", False)),
+        "voice_clone_prompt": voice.get("voice_clone_prompt"),
+    }
+
+
 def load_voices(path):
     """voices.json: {"alloy": {"ref_audio": "...", "ref_text": "...",
     "xvec_only": false, "language": "English"}, ...}
@@ -263,6 +342,37 @@ async def create_speech(request: web.Request) -> web.StreamResponse:
             content_type="application/json",
         )
 
+    if fmt == "mp3" and _continuous is not None:
+        # Continuous mode: mp3 ALSO rides the batcher (one engine owner) —
+        # collect the stream's PCM16 chunks, then encode once.
+        from faster_qwen3_tts_tpu.utils.mp3 import Mp3Unavailable, encode_mp3
+
+        job = _BatchJob(_voice_request(text, voice), _continuous.chunk_size)
+        _continuous.submit(job)
+        loop = asyncio.get_event_loop()
+        parts = []
+        try:
+            while True:
+                item = await loop.run_in_executor(None, job.out_q.get)
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise web.HTTPInternalServerError(
+                        text=json.dumps({"error": str(item)}),
+                        content_type="application/json",
+                    )
+                parts.append(item)
+        finally:
+            job.cancelled = True
+        pcm = np.frombuffer(b"".join(parts), dtype=np.int16)
+        try:
+            data = encode_mp3(pcm.astype(np.float32) / 32768.0, _model.sample_rate)
+        except Mp3Unavailable as e:
+            raise web.HTTPNotImplemented(
+                text=json.dumps({"error": str(e)}), content_type="application/json"
+            )
+        return web.Response(body=data, content_type="audio/mpeg")
+
     if fmt == "mp3":
         # Non-streaming: full generation then one encode (the reference does
         # the same, openai_server.py:242-256 — mp3 frames don't chunk cleanly).
@@ -298,23 +408,14 @@ async def create_speech(request: web.Request) -> web.StreamResponse:
     )
     await resp.prepare(request)
 
-    if _scheduler is not None:
-        # dp-batched serving: no mutex — the scheduler coalesces concurrent
-        # requests into one lockstep engine batch.
+    if _scheduler is not None or _continuous is not None:
+        # Batched serving, no mutex: --batch coalesces concurrent requests
+        # into one lockstep engine batch; --continuous admits each request
+        # into the RUNNING batch at the next chunk boundary.
         if fmt == "wav":
             await resp.write(wav_header(_model.sample_rate))
-        job = _BatchJob(
-            {
-                "text": text,
-                "language": voice.get("language", "English"),
-                "ref_audio": voice.get("ref_audio"),
-                "ref_text": voice.get("ref_text", ""),
-                "xvec_only": bool(voice.get("xvec_only", False)),
-                "voice_clone_prompt": voice.get("voice_clone_prompt"),
-            },
-            chunk_size,
-        )
-        _scheduler.submit(job)
+        job = _BatchJob(_voice_request(text, voice), chunk_size)
+        (_scheduler or _continuous).submit(job)
         loop = asyncio.get_event_loop()
         try:
             while True:
@@ -365,6 +466,8 @@ async def health(request: web.Request) -> web.Response:
             "voices": sorted(_voices.keys()),
             "batched": _scheduler is not None,
             "max_batch": getattr(_scheduler, "max_batch", 1),
+            "continuous": _continuous is not None,
+            "max_slots": getattr(_continuous, "max_slots", None),
         }
     )
 
@@ -395,6 +498,13 @@ def main():
                          "(1 = mutex-serialized, the reference's model)")
     ap.add_argument("--batch-window-ms", type=float, default=100.0,
                     help="how long the scheduler waits to fill a batch")
+    ap.add_argument("--continuous", type=int, default=0, metavar="N",
+                    help="continuous batching over N engine lanes: each "
+                         "request joins the RUNNING batch at the next chunk "
+                         "boundary (no micro-batch window, no lockstep "
+                         "prefills; per-request chunk_size is ignored — the "
+                         "pool decodes at chunk 8). Mutually exclusive with "
+                         "--batch")
     ap.add_argument("--dp", type=int, default=None,
                     help="shard the serving batch over a dp-way device mesh "
                          "(pass to from_pretrained; pair with --batch)")
@@ -405,9 +515,11 @@ def main():
     logging.basicConfig(level=logging.INFO)
     if args.aot_cache:
         os.environ["FQ3T_AOT_CACHE"] = args.aot_cache
-    global _model, _scheduler
+    global _model, _scheduler, _continuous
     from faster_qwen3_tts_tpu.model import FasterQwen3TTS
 
+    if args.batch > 1 and args.continuous > 1:
+        ap.error("--batch and --continuous are mutually exclusive")
     _model = FasterQwen3TTS.from_pretrained(
         args.model, backend=args.backend, quant=args.quant, dp=args.dp, tp=args.tp
     )
@@ -420,6 +532,27 @@ def main():
         # the ctx ladder {12,20,...} to cold-compile inside the first request
         # (ADVICE r2 medium).
         _model.warmup(chunk_sizes=(8,), first_chunk_size=4)
+        if args.continuous > 1:
+            # The continuous pool's B-lane executables (start_state/
+            # insert_slot/decode_chunk at B=N) are distinct compile shapes
+            # from the solo warmup's B=1 set: warm them with one dummy
+            # stream through a throwaway batcher before serving.
+            cbw = _model.continuous_batcher(
+                max_slots=args.continuous, chunk_size=8, max_new_tokens=8
+            )
+            cbw.submit({
+                "text": "warm the continuous lanes.",
+                "xvec_only": True,
+                "voice_clone_prompt": {
+                    "ref_spk_embedding": [np.zeros(2048, np.float32)],
+                    "x_vector_only_mode": [True], "icl_mode": [False],
+                    "ref_code": [None],
+                },
+            })
+            for _ in cbw.run():
+                pass
+    if args.continuous > 1:
+        _continuous = ContinuousScheduler(_model, args.continuous, chunk_size=8)
     web.run_app(make_app(), host=args.host, port=args.port)
 
 

@@ -220,6 +220,107 @@ def test_openai_batch_pads_to_pow2(monkeypatch):
         assert np.frombuffer(b, np.int16).size == 2 * 8 * 1920
 
 
+class _StubContinuousModel(_StubModel):
+    """Model whose continuous_batcher is a fake admission pump: run(wait=True)
+    serves submitted requests 2 chunks each, raising if a request's text is
+    'boom' (the per-admission failure domain)."""
+
+    sample_rate = 24000
+
+    def continuous_batcher(self, max_slots=8, chunk_size=8, **kw):
+        model = self
+
+        class _FakeCB:
+            def __init__(self):
+                self._pending = []
+                self._next = 0
+
+            def submit(self, request, **_kw):
+                sid = self._next
+                self._next += 1
+                self._pending.append((sid, request))
+                return sid
+
+            def run(self, wait=False):
+                import time as _t
+
+                idle = 0.0
+                while True:
+                    if not self._pending:
+                        _t.sleep(0.005)
+                        idle += 0.005
+                        if idle > 1.0:
+                            return  # test pump: give up after 1s idle
+                        continue
+                    idle = 0.0
+                    sid, req = self._pending.pop(0)
+                    if req["text"] == "boom":
+                        raise RuntimeError("bad voice config")
+                    for i in range(2):
+                        yield (
+                            sid,
+                            np.full(chunk_size * 1920, 0.01 * (sid + 1), np.float32),
+                            model.sample_rate,
+                            {"chunk_index": i, "slot": sid % max_slots,
+                             "is_final": i == 1, "total_steps_so_far": (i + 1) * chunk_size,
+                             "ttfa_from_submit_ms": 1.0, "admit_wait_ms": 0.0},
+                        )
+
+        return _FakeCB()
+
+
+def test_openai_continuous_serving(monkeypatch):
+    """--continuous mode: requests are admitted into the running pump and
+    each response gets exactly its own stream's audio; a request that fails
+    at admission errors ONLY in-flight streams — the pump restarts and later
+    requests serve normally."""
+    import servers.openai_server as srv
+
+    stub = _StubContinuousModel()
+    monkeypatch.setattr(srv, "_model", stub)
+    monkeypatch.setattr(srv, "_voices", {"alloy": {"ref_audio": None, "xvec_only": True}})
+    monkeypatch.setattr(srv, "_scheduler", None)
+    cont = srv.ContinuousScheduler(stub, max_slots=4, chunk_size=8)
+    monkeypatch.setattr(srv, "_continuous", cont)
+    app = srv.make_app()
+
+    async def drive():
+        async with TestClient(TestServer(app)) as client:
+            r1, r2 = await asyncio.gather(
+                client.post("/v1/audio/speech",
+                            json={"input": "first", "voice": "alloy"}),
+                client.post("/v1/audio/speech",
+                            json={"input": "second", "voice": "alloy",
+                                  "response_format": "pcm"}),
+            )
+            assert r1.status == 200 and r2.status == 200
+            b1, b2 = await r1.read(), await r2.read()
+            health = await (await client.get("/health")).json()
+            # a poisoned request kills only itself/in-flight lanes ...
+            rb = await client.post(
+                "/v1/audio/speech",
+                json={"input": "boom", "voice": "alloy", "response_format": "pcm"})
+            bb = await rb.read()
+            # ... and the restarted pump serves the next request
+            r3 = await client.post(
+                "/v1/audio/speech",
+                json={"input": "after", "voice": "alloy", "response_format": "pcm"})
+            assert r3.status == 200
+            b3 = await r3.read()
+            return b1, b2, b3, bb, health
+
+    b1, b2, b3, bb, health = run(drive())
+    assert health["continuous"] and health["max_slots"] == 4
+    assert b1[:4] == b"RIFF"
+    # streams got per-sid audio (sid s emits 0.01*(s+1)), 2 chunks each
+    pcm1 = np.frombuffer(b1[44:], np.int16)
+    pcm2 = np.frombuffer(b2, np.int16)
+    assert pcm1.size == 2 * 8 * 1920 and pcm2.size == 2 * 8 * 1920
+    assert abs(int(pcm1[0])) != abs(int(pcm2[0]))  # distinct sids
+    assert bb == b""  # poisoned stream: error surfaced as empty stream
+    assert np.frombuffer(b3, np.int16).size == 2 * 8 * 1920
+
+
 def test_demo_stream_and_guards(monkeypatch):
     import servers.demo_server as demo
 
