@@ -74,7 +74,12 @@ def make_checkpoint(args) -> None:
     mode = quant_lib.resolve_quant_name("BF16" if args.tiny else args.quant)
     if mode != "none":
         params = quant_lib.quantize_model_params(params, mode)
-    weights_lib.save_deploy_bundle(args.ckpt_dir, params, cfg, quant_mode=mode)
+    # compact_f32: f32 sections stored as bf16 (lossless for real HF
+    # checkpoints whose source dtype is bf16) — ~24% fewer transfer bytes,
+    # wall-clock 1:1 on the bandwidth-bound restart path.
+    weights_lib.save_deploy_bundle(
+        args.ckpt_dir, params, cfg, quant_mode=mode, compact_f32=not args.tiny
+    )
     log(f"deploy bundle written to {args.ckpt_dir} in {time.time() - t0:.1f}s")
 
 
@@ -94,11 +99,25 @@ def run_child(args) -> None:
 
     from faster_qwen3_tts_tpu.model import FasterQwen3TTS
 
-    model = FasterQwen3TTS.from_pretrained(
-        args.ckpt_dir,
-        max_seq_len=256 if args.tiny else 2048,
-        quant="BF16" if args.tiny else args.quant,
-    )
+    if args.device_init:
+        # Zero-weight-byte restart: weights generated in HBM. Isolates the
+        # framework's own restart machinery (executable preloads + warmup +
+        # first request) from the host->device link bandwidth that dominates
+        # the bundle row (~10 MB/s through this tunnel; GB/s attached).
+        os.environ["FQ3T_DEVICE_INIT"] = "1"
+        name = {
+            "0.6b": "Qwen/Qwen3-TTS-12Hz-0.6B-Base",
+            "1.7b": "Qwen/Qwen3-TTS-12Hz-1.7B-Base",
+        }[args.model]
+        model = FasterQwen3TTS.from_pretrained(
+            name, max_seq_len=2048, quant=args.quant
+        )
+    else:
+        model = FasterQwen3TTS.from_pretrained(
+            args.ckpt_dir,
+            max_seq_len=256 if args.tiny else 2048,
+            quant="BF16" if args.tiny else args.quant,
+        )
     load_done = time.time() - t0
     stage("model_loaded")
 
@@ -169,6 +188,8 @@ def run_pass(args, label: str, cache_dir: str, timeout_s: float):
            "--ckpt-dir", args.ckpt_dir]
     if args.tiny:
         cmd.append("--tiny")
+    if args.device_init:
+        cmd.append("--device-init")
     log(f"[{label}] starting child (cache={cache_dir})")
     proc = subprocess.run(
         cmd, env=env, timeout=timeout_s, capture_output=True, text=True,
@@ -190,6 +211,9 @@ def main():
     ap.add_argument("--quant", default="Q8_0")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny geometry (CPU smoke; set FQ3T_AOT_CACHE_FORCE=1)")
+    ap.add_argument("--device-init", action="store_true",
+                    help="weights generated in HBM instead of loading the "
+                         "bundle: the zero-weight-byte restart row")
     ap.add_argument("--cache-dir", default=None,
                     help="AOT cache dir (default: fresh temp dir)")
     ap.add_argument("--ckpt-dir", default=None,
@@ -209,7 +233,18 @@ def main():
         return
 
     # Setup (untimed): the serving checkpoint both passes load.
-    if not os.path.exists(os.path.join(args.ckpt_dir, "bundle.bin")):
+    def _bundle_current(d):
+        try:
+            import json as _json
+
+            from faster_qwen3_tts_tpu import weights as _w
+
+            with open(os.path.join(d, "bundle.json")) as f:
+                return _json.load(f).get("version") == _w._BUNDLE_VERSION
+        except Exception:
+            return False
+
+    if not args.device_init and not _bundle_current(args.ckpt_dir):
         log(f"[setup] creating deploy bundle at {args.ckpt_dir} (untimed, once)")
         env = dict(os.environ)
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -233,6 +268,7 @@ def main():
             "model_size": args.model,
             "quant": args.quant,
             "tiny": args.tiny,
+            "device_init": args.device_init,
         }
         if cold:
             extras["cold_s"] = cold["total_to_first_audio_s"]

@@ -233,7 +233,8 @@ def load_pretrained(path: str):
 #
 # Through a tunneled PJRT runtime every host->device transfer costs ~0.35 s
 # of per-RPC latency regardless of size, while ONE large buffer streams at
-# ~500 MB/s (measured on this v5e tunnel). A 188-leaf parameter tree
+# link bandwidth (~10 MB/s measured through this v5e tunnel once actually
+# flushed; GB/s on attached hardware). A 188-leaf parameter tree
 # therefore takes minutes leaf-by-leaf but seconds as one blob. These
 # helpers concatenate every leaf's raw bytes into a single uint8 buffer,
 # ship it with ONE device_put, and re-slice/bitcast/reshape the leaves in a
@@ -342,43 +343,74 @@ def _blob_kw(dt: str) -> str:
     return "b_" + dt
 
 
+def _norm_manifest(manifest):
+    """Normalize entries to (key, store_dt, shape, off, out_dt); 4-field
+    entries (store == out, the uncompacted form) are padded."""
+    return tuple(
+        (e[0], e[1], tuple(e[2]), e[3], e[4] if len(e) > 4 else e[1])
+        for e in manifest
+    )
+
+
 def _unpack_jit_factory(manifest, donate: bool = True):
     """Jitted unpack: per-dtype blobs -> list of leaves (manifest order).
     The manifest is baked into the trace (it IS the program), so the AOT
-    cache name carries its digest — two geometries never share an entry."""
+    cache name carries its digest — two geometries never share an entry.
+    Entries whose out_dt differs from the stored dtype (compact_f32 bundles:
+    f32 leaves stored as bf16) are upcast on device, inside this program."""
     import jax
 
-    dts = sorted({dt for (_k, dt, _s, _o) in manifest})
+    manifest = _norm_manifest(manifest)
+    dts = sorted({dt for (_k, dt, _s, _o, _t) in manifest})
 
     def unpack(**blobs):
         out = []
-        for (_key, dt, shape, off) in manifest:
+        for (_key, dt, shape, off, out_dt) in manifest:
             n = int(np.prod(shape, dtype=np.int64)) if shape else 1
             seg = jax.lax.slice(blobs[_blob_kw(dt)], (off,), (off + n,))
-            out.append(seg.reshape(shape))
+            seg = seg.reshape(shape)
+            if out_dt != dt:
+                seg = seg.astype(_np_dtype(out_dt))
+            out.append(seg)
         return out
 
     return jax.jit(unpack, donate_argnames=tuple(_blob_kw(d) for d in dts) if donate else ())
 
 
 def _device_unpack(blobs: Dict[str, np.ndarray], manifest, sharding=None) -> Any:
+    """device_put + unpack, FULLY FLUSHED before returning. `manifest`
+    entries may carry a 5th out_dt field (compact storage; _norm_manifest).
+
+    Each blob is blocked right after its put, and the unpack outputs are
+    blocked before returning. Measured on the tunneled v5e: leaving the
+    transfers to drain in the background behind a later unrelated fetch
+    streams the same 1.8 GB in 385 s, while foreground-blocking flushes it
+    in ~180 s (and `block_until_ready` on a fresh device_put returns in ms —
+    client-side buffering — so the block must be paired with the unpack
+    drain below to actually land the bytes). Either way the floor is the
+    pipe: ~10 MB/s through this tunnel, ~GB/s on attached hardware. Blocking
+    here also keeps the cost attributed to the load's `device_transfer`
+    phase instead of smearing into the first warmup fetch."""
     import jax
 
     from .engine import aot
 
-    dev = {
-        _blob_kw(dt): (jax.device_put(b) if sharding is None else jax.device_put(b, sharding))
-        for dt, b in blobs.items()
-    }
+    dev = {}
+    for dt, b in blobs.items():
+        d = jax.device_put(b) if sharding is None else jax.device_put(b, sharding)
+        d.block_until_ready()
+        dev[_blob_kw(dt)] = d
+    manifest = _norm_manifest(manifest)
     digest = hashlib.sha256(repr(manifest).encode()).hexdigest()[:16]
     leaves = aot.call(f"unpack_weights-{digest}", _unpack_jit_factory(manifest), **dev)
+    jax.block_until_ready(leaves)
     return _rebuild_typed({key: leaf for (key, *_), leaf in zip(manifest, leaves)})
 
 
 def pack_transfer(params: Any, sharding=None) -> Any:
     """Device-place a host parameter tree with ONE transfer per dtype (3-4
     total) + one unpack program, instead of one RPC per leaf (~0.35 s each
-    through tunneled runtimes; 188 leaves = minutes vs ~500 MB/s streamed).
+    through tunneled runtimes; 188 leaves = minutes vs link-rate streaming).
 
     sharding: optional target sharding for the blobs (single-device serving
     passes None; replicated-weight cases may pass a NamedSharding)."""
@@ -397,16 +429,37 @@ def is_deploy_bundle(path: str) -> bool:
 
 
 def save_deploy_bundle(path: str, params: Any, cfg: Qwen3TTSConfig,
-                       quant_mode: str = "none") -> None:
+                       quant_mode: str = "none", compact_f32: bool = False) -> None:
     """Persist params (optionally already quantized) in packed form.
 
     A restart then costs: one file read + one device transfer + one unpack
     program — the serving-grade warm path (the reference's warmup is
     seconds because its weights are already resident; this is the closest a
-    fresh process can get)."""
+    fresh process can get).
+
+    compact_f32=True stores float32 leaves as bfloat16 and upcasts them
+    inside the on-device unpack program. For REAL Qwen3-TTS checkpoints this
+    is lossless: the HF source tensors are bf16 (torch_dtype), and the f32
+    leaves here (codec/encoders, kept f32 for compute) were upcast from that
+    bf16 at import — bf16 -> f32 -> bf16 round-trips exactly. It cuts the
+    restart's transfer bytes ~24% at 0.6B (the f32 section halves), which is
+    wall-clock 1:1 on bandwidth-bound links. Only random-init f32 params
+    (tests, benchmarks) actually lose mantissa bits; hence opt-in."""
     os.makedirs(path, exist_ok=True)
     flat = _flatten_typed(params)
+    out_dt = {}
+    if compact_f32:
+        import ml_dtypes
+
+        for k, a in flat.items():
+            if a.dtype == np.float32:
+                flat[k] = a.astype(ml_dtypes.bfloat16)
+                out_dt[k] = "float32"
     blobs, manifest = _pack_blobs(flat)
+    if out_dt:
+        manifest = tuple(
+            (k, dt, sh, off, out_dt.get(k, dt)) for (k, dt, sh, off) in manifest
+        )
     sections = {}
     align = 128
     offset = 0
@@ -429,22 +482,30 @@ def save_deploy_bundle(path: str, params: Any, cfg: Qwen3TTSConfig,
         }, f)
 
 
-def load_deploy_bundle(path: str):
-    """-> (device params, cfg, quant_mode). One file read, one transfer per
-    dtype section, one unpack program (AOT-cached across restarts)."""
+def read_deploy_bundle(path: str):
+    """Host half of a bundle load -> (blobs, manifest, cfg, quant_mode).
+    Callers pass blobs/manifest to `_device_unpack` (the device half) so the
+    disk read and the device transfer are separately attributable phases."""
     with open(os.path.join(path, "bundle.json")) as f:
         meta = json.load(f)
     if meta.get("version") != _BUNDLE_VERSION:
         raise ValueError(f"unsupported bundle version {meta.get('version')}")
     cfg = config_from_dict(meta["config"])
-    manifest = tuple((k, dt, tuple(sh), off) for k, dt, sh, off in meta["entries"])
+    manifest = _norm_manifest(meta["entries"])
     raw = np.fromfile(os.path.join(path, "bundle.bin"), dtype=np.uint8)
     blobs = {}
     for dt, (byte_off, n) in meta["sections"].items():
         dtype = _np_dtype(dt)
         blobs[dt] = raw[byte_off : byte_off + n * dtype.itemsize].view(dtype)
+    return blobs, manifest, cfg, meta.get("quant", "none")
+
+
+def load_deploy_bundle(path: str):
+    """-> (device params, cfg, quant_mode). One file read, one transfer per
+    dtype section, one unpack program (AOT-cached across restarts)."""
+    blobs, manifest, cfg, mode = read_deploy_bundle(path)
     params = _device_unpack(blobs, manifest)
-    return params, cfg, meta.get("quant", "none")
+    return params, cfg, mode
 
 
 def _config_to_dict(cfg: Qwen3TTSConfig) -> dict:

@@ -165,6 +165,37 @@ def test_pack_transfer_bit_exact_quantized(tiny_config):
     assert isinstance(dev["predictor"]["layers"]["wq"], quant_lib.QuantizedLinear4)
 
 
+def test_deploy_bundle_compact_f32(tiny_config, tmp_path):
+    """compact_f32 bundles store f32 leaves as bf16 on disk and upcast back
+    to f32 inside the on-device unpack: dtypes round-trip to f32, values
+    equal the bf16-rounded originals (lossless for real HF checkpoints whose
+    source dtype IS bf16), and the file shrinks by the f32 section's half."""
+    import ml_dtypes
+
+    params = weights_lib.init_all(tiny_config, seed=0, dtype=jnp.float32, device_put=False)
+    weights_lib.save_deploy_bundle(str(tmp_path / "full"), params, tiny_config)
+    weights_lib.save_deploy_bundle(
+        str(tmp_path / "compact"), params, tiny_config, compact_f32=True
+    )
+    full = (tmp_path / "full" / "bundle.bin").stat().st_size
+    compact = (tmp_path / "compact" / "bundle.bin").stat().st_size
+    assert compact < full * 0.75  # mostly-f32 tiny tree: ~halves
+
+    p2, cfg2, _mode = weights_lib.load_deploy_bundle(str(tmp_path / "compact"))
+    assert cfg2 == tiny_config
+    fa, f2 = weights_lib._flatten_typed(params), weights_lib._flatten_typed(p2)
+    assert fa.keys() == f2.keys()
+    for k in fa:
+        a, b = np.asarray(fa[k]), np.asarray(f2[k])
+        assert a.dtype == b.dtype, k
+        if a.dtype == np.float32:
+            np.testing.assert_array_equal(
+                a.astype(ml_dtypes.bfloat16).astype(np.float32), b, err_msg=k
+            )
+        else:
+            np.testing.assert_array_equal(_raw_bytes(a), _raw_bytes(b), err_msg=k)
+
+
 def test_deploy_bundle_roundtrip_and_from_pretrained(tiny_config, tmp_path):
     """save_deploy_bundle -> load_deploy_bundle is bit-exact, and
     from_pretrained(dir) detects the bundle, honors its quant mode, and
