@@ -191,10 +191,20 @@ def run_pass(args, label: str, cache_dir: str, timeout_s: float):
     if args.device_init:
         cmd.append("--device-init")
     log(f"[{label}] starting child (cache={cache_dir})")
-    proc = subprocess.run(
-        cmd, env=env, timeout=timeout_s, capture_output=True, text=True,
-        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    )
+    try:
+        proc = subprocess.run(
+            cmd, env=env, timeout=timeout_s, capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+    except subprocess.TimeoutExpired as e:
+        # Surface how far the child got (stage lines) before the timeout —
+        # a wedged tunnel RPC is indistinguishable from a slow compile
+        # without this.
+        for stream in (e.stderr, e.stdout):
+            if stream:
+                text = stream.decode() if isinstance(stream, bytes) else stream
+                sys.stderr.write(text[-4000:])
+        raise
     sys.stderr.write(proc.stderr)
     if proc.returncode != 0:
         raise RuntimeError(f"{label} pass failed (rc={proc.returncode})")

@@ -353,12 +353,17 @@ def _norm_manifest(manifest):
 
 
 def _unpack_jit_factory(manifest, donate: bool = True):
-    """Jitted unpack: per-dtype blobs -> list of leaves (manifest order).
+    """Jitted unpack: per-dtype blobs -> (leaves list (manifest order), chk).
     The manifest is baked into the trace (it IS the program), so the AOT
     cache name carries its digest — two geometries never share an entry.
     Entries whose out_dt differs from the stored dtype (compact_f32 bundles:
-    f32 leaves stored as bf16) are upcast on device, inside this program."""
+    f32 leaves stored as bf16) are upcast on device, inside this program.
+
+    `chk` is a scalar that data-depends on EVERY input blob: fetching it is
+    the only reliable way to prove the host->device transfers actually
+    landed (see _device_unpack)."""
     import jax
+    import jax.numpy as jnp
 
     manifest = _norm_manifest(manifest)
     dts = sorted({dt for (_k, dt, _s, _o, _t) in manifest})
@@ -372,7 +377,10 @@ def _unpack_jit_factory(manifest, donate: bool = True):
             if out_dt != dt:
                 seg = seg.astype(_np_dtype(out_dt))
             out.append(seg)
-        return out
+        # One pass over every blob (milliseconds at HBM rate); the scalar
+        # cannot exist until every transferred byte has landed on device.
+        chk = sum(jnp.sum(b.astype(jnp.float32)) for b in blobs.values())
+        return out, chk
 
     return jax.jit(unpack, donate_argnames=tuple(_blob_kw(d) for d in dts) if donate else ())
 
@@ -381,16 +389,17 @@ def _device_unpack(blobs: Dict[str, np.ndarray], manifest, sharding=None) -> Any
     """device_put + unpack, FULLY FLUSHED before returning. `manifest`
     entries may carry a 5th out_dt field (compact storage; _norm_manifest).
 
-    Each blob is blocked right after its put, and the unpack outputs are
-    blocked before returning. Measured on the tunneled v5e: leaving the
-    transfers to drain in the background behind a later unrelated fetch
-    streams the same 1.8 GB in 385 s, while foreground-blocking flushes it
-    in ~180 s (and `block_until_ready` on a fresh device_put returns in ms —
-    client-side buffering — so the block must be paired with the unpack
-    drain below to actually land the bytes). Either way the floor is the
-    pipe: ~10 MB/s through this tunnel, ~GB/s on attached hardware. Blocking
-    here also keeps the cost attributed to the load's `device_transfer`
-    phase instead of smearing into the first warmup fetch."""
+    The flush is a real FETCH of a checksum scalar the unpack program
+    computes from every input blob. Nothing weaker works through a tunneled
+    PJRT client: `block_until_ready` on a fresh device_put returns in ms
+    (client-side buffering), and an r5 on-chip capture showed even
+    block_until_ready on the unpack OUTPUTS returning in 12 s while the
+    1.37 GB of input bytes were still in flight — the first later fetch
+    then stalled 432 s (the round-3 "block_until_ready doesn't force
+    execution" lesson, again). A data-dependent fetch cannot lie. Either
+    way the floor is the pipe: ~3-10 MB/s through this tunnel, GB/s on
+    attached hardware. Fetching here keeps the cost attributed to the
+    load's `device_transfer` phase instead of smearing into warmup."""
     import jax
 
     from .engine import aot
@@ -398,12 +407,16 @@ def _device_unpack(blobs: Dict[str, np.ndarray], manifest, sharding=None) -> Any
     dev = {}
     for dt, b in blobs.items():
         d = jax.device_put(b) if sharding is None else jax.device_put(b, sharding)
-        d.block_until_ready()
         dev[_blob_kw(dt)] = d
     manifest = _norm_manifest(manifest)
     digest = hashlib.sha256(repr(manifest).encode()).hexdigest()[:16]
-    leaves = aot.call(f"unpack_weights-{digest}", _unpack_jit_factory(manifest), **dev)
-    jax.block_until_ready(leaves)
+    # "unpack2": the program's output signature changed (leaves -> (leaves,
+    # chk)); a fresh name family keeps any cached single-output executable
+    # from ever being considered.
+    leaves, chk = aot.call(
+        f"unpack2_weights-{digest}", _unpack_jit_factory(manifest), **dev
+    )
+    np.asarray(chk)  # the real flush: device->host fetch of the checksum
     return _rebuild_typed({key: leaf for (key, *_), leaf in zip(manifest, leaves)})
 
 
