@@ -345,6 +345,7 @@ def run_bench(model_size: str, frames: int, chunk: int, runs: int, smoke: bool, 
             "load_s": round(load_s, 1),
             "warmup_s": round(warmup_s, 1),
             "mode": "xvec_only",
+            **fc8_stats,
             **icl_stats,
         },
     }
