@@ -216,6 +216,18 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_bundle(args) -> int:
+    """Materialize a serving deploy bundle from any loadable checkpoint
+    (HF safetensors dir, framework checkpoint, or preset id) at the
+    requested quant. benchmark/cold_start.py measures the restart this
+    buys; servers/README.md documents the operational flow."""
+    model = _load_model(args)
+    model.save_deploy_bundle(args.out_dir, compact_f32=not args.full_f32)
+    print(f"deploy bundle written to {args.out_dir} "
+          f"(quant={args.quant}, restart via from_pretrained({args.out_dir!r}))")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         prog="faster-qwen3-tts-tpu",
@@ -260,6 +272,20 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--instruct", default=None)
     ps.add_argument("--outdir", default="outputs")
     ps.set_defaults(func=cmd_serve)
+
+    pb = sub.add_parser(
+        "bundle",
+        help="write a deploy bundle (pre-quantized packed weights) so serving "
+             "restarts skip name-mapping/quantization: one read, one transfer, "
+             "one unpack",
+    )
+    _add_global_flags(pb)
+    pb.add_argument("out_dir", help="bundle directory to create")
+    pb.add_argument("--full-f32", action="store_true",
+                    help="keep float32 sections at full width (default stores "
+                         "them as bf16 and upcasts on device — lossless for "
+                         "bf16-sourced HF checkpoints)")
+    pb.set_defaults(func=cmd_bundle)
     return ap
 
 

@@ -396,6 +396,26 @@ class FasterQwen3TTS:
         model.load_phases = load_phases
         return model
 
+    def save_deploy_bundle(self, path: str, compact_f32: bool = True) -> None:
+        """Persist this model's parameters — in their CURRENT (possibly
+        quantized) form — as a deploy bundle, so a serving restart via
+        ``from_pretrained(path)`` costs one file read -> one packed device
+        transfer -> one AOT-cached unpack program, skipping safetensors
+        name-mapping and host quantization entirely
+        (weights.save_deploy_bundle). compact_f32 stores float32 sections
+        as bfloat16 on disk/transfer and upcasts on device — lossless when
+        the source checkpoint is bf16, as real Qwen3-TTS HF checkpoints
+        are."""
+        from . import weights as weights_lib
+        from .ops import quant as quant_lib
+
+        host = jax.device_get(self.params)
+        weights_lib.save_deploy_bundle(
+            path, host, self.config,
+            quant_mode=quant_lib.infer_quant_mode(host),
+            compact_f32=compact_f32,
+        )
+
     # ---------------------------------------------------------------- warmup
 
     def warmup(self, prefill_len: int = 100, chunk_sizes=None, first_chunk_size=None) -> None:

@@ -260,6 +260,31 @@ def _quantize_tree(params: dict, quantize_talker, quantize_pred) -> dict:
     return out
 
 
+def infer_quant_mode(params: dict) -> str:
+    """Infer the quantize_model_params mode from a parameter tree's leaf
+    TYPES (for persisting already-loaded/quantized models as deploy
+    bundles). Inverse of quantize_model_params over the modes it produces;
+    raises on a combination it never produces."""
+
+    def kind(x) -> str:
+        if isinstance(x, QuantizedLinear):
+            return "int8"
+        if isinstance(x, QuantizedLinear4):
+            return "int4"
+        return "none"
+
+    def probe(layers: dict):
+        return layers["wqkv"] if "wqkv" in layers else layers["wq"]  # fused layout
+
+    kt = kind(probe(params["talker"]["layers"]))
+    kp = kind(probe(params["predictor"]["layers"]))
+    if kt == kp:
+        return kt
+    if (kt, kp) == ("int8", "int4"):
+        return "mixed"
+    raise ValueError(f"unrecognized quantization layout: talker={kt}, predictor={kp}")
+
+
 def resolve_quant_name(quant: str) -> str:
     """Map reference quant names (cli.py:357) onto this backend's modes."""
     key = (quant or "BF16").lower()

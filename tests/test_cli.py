@@ -72,3 +72,13 @@ def test_design_requires_instruct():
     ap = build_parser()
     with pytest.raises(SystemExit):
         ap.parse_args(["design", "text"])
+
+
+def test_bundle_flags_parse():
+    ap = build_parser()
+    args = ap.parse_args(
+        ["bundle", "/tmp/out_bundle", "--model", "ckpt_dir", "--quant", "Q8_0"]
+    )
+    assert args.command == "bundle"
+    assert args.out_dir == "/tmp/out_bundle" and args.quant == "Q8_0"
+    assert not args.full_f32

@@ -216,3 +216,44 @@ def test_deploy_bundle_roundtrip_and_from_pretrained(tiny_config, tmp_path):
     assert isinstance(m.params["talker"]["layers"]["wq"], quant_lib.QuantizedLinear)
     with pytest.raises(ValueError, match="conflicts"):
         FasterQwen3TTS.from_pretrained(str(tmp_path), quant="Q4_K_M", max_seq_len=128)
+
+
+def test_model_save_deploy_bundle_roundtrip(tiny_config, tmp_path):
+    """model.save_deploy_bundle persists the CURRENT (quantized) params with
+    an inferred quant mode; from_pretrained(dir) restores them bit-exactly
+    (modulo the compact-f32 bf16 rounding, disabled here to pin bits)."""
+    from faster_qwen3_tts_tpu.model import FasterQwen3TTS, PromptTokenizer
+    from faster_qwen3_tts_tpu.ops import quant as quant_lib
+    from faster_qwen3_tts_tpu.utils.tokenizer import ByteTokenizer
+
+    params = weights_lib.init_all(tiny_config, seed=0, dtype=jnp.float32)
+    q = quant_lib.quantize_model_params(params, "mixed")
+    m = FasterQwen3TTS(q, tiny_config, PromptTokenizer(ByteTokenizer()), max_seq_len=128)
+    m.save_deploy_bundle(str(tmp_path / "b"), compact_f32=False)
+
+    p2, cfg2, mode = weights_lib.load_deploy_bundle(str(tmp_path / "b"))
+    assert mode == "mixed" and cfg2 == tiny_config
+    fa, f2 = weights_lib._flatten_typed(q), weights_lib._flatten_typed(p2)
+    assert fa.keys() == f2.keys()
+    for k in fa:
+        np.testing.assert_array_equal(
+            _raw_bytes(np.asarray(fa[k])), _raw_bytes(np.asarray(f2[k])), err_msg=k
+        )
+    assert isinstance(p2["predictor"]["layers"]["wq"], quant_lib.QuantizedLinear4)
+
+
+def test_infer_quant_mode():
+    from faster_qwen3_tts_tpu.ops import quant as quant_lib
+
+    def tree(t, p):
+        return {"talker": {"layers": {"wq": t}}, "predictor": {"layers": {"wq": p}}}
+
+    w = np.zeros((4, 4), np.float32)
+    q8 = quant_lib.quantize_linear(w)
+    q4 = quant_lib.quantize_linear4(np.zeros((32, 32), np.float32))
+    assert quant_lib.infer_quant_mode(tree(w, w)) == "none"
+    assert quant_lib.infer_quant_mode(tree(q8, q8)) == "int8"
+    assert quant_lib.infer_quant_mode(tree(q4, q4)) == "int4"
+    assert quant_lib.infer_quant_mode(tree(q8, q4)) == "mixed"
+    with pytest.raises(ValueError, match="unrecognized"):
+        quant_lib.infer_quant_mode(tree(q4, q8))
