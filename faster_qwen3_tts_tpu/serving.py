@@ -20,11 +20,9 @@ openai_server.py:71); this is TPU-native serving structure: fixed-shape
 executables + lane surgery instead of dynamic batching.
 
 Vocoding: per-slot incremental host vocoders (model._StreamVocoder), i.e.
-the mixed-batch path of the lockstep API — but PIPELINED: the pump keeps
-one decode chunk in flight, so the B host vocodes of chunk k overlap the
-device decoding chunk k+1 (see run()). Lanes at steady state could further
-share a fused device vocode; that optimization is orthogonal to admission
-and deliberately out of this module's first cut.
+the mixed-batch path of the lockstep API. Lanes at steady state could share
+a fused device vocode; that optimization is orthogonal to admission and
+deliberately out of this module's first cut.
 """
 from __future__ import annotations
 
@@ -52,8 +50,7 @@ _set_tth_row_jit = jax.jit(_set_tth_row, donate_argnames=("tth",))
 
 class _Stream:
     __slots__ = ("sid", "request", "slot", "submitted_at", "admitted_at",
-                 "first_audio_at", "vocoder", "frames_emitted",
-                 "max_new_tokens", "admitted_chunk")
+                 "first_audio_at", "vocoder", "frames_emitted", "max_new_tokens")
 
     def __init__(self, sid, request, max_new_tokens):
         self.sid = sid
@@ -65,11 +62,6 @@ class _Stream:
         self.vocoder = None
         self.frames_emitted = 0
         self.max_new_tokens = max_new_tokens
-        # index of the first decode chunk that includes this stream; frames
-        # fetched from EARLIER in-flight chunks of the same slot belong to
-        # the previous occupant and must not be attributed here (the
-        # dispatch-ahead pump keeps one chunk in flight across admissions).
-        self.admitted_chunk = None
 
 
 class ContinuousBatcher:
@@ -163,7 +155,7 @@ class ContinuousBatcher:
         self._tth = jnp.zeros((self.B, tb, H), dtype)
         self._tpe = jnp.asarray(tpe, dtype)
 
-    def _admit(self, s: _Stream, slot: int, next_chunk: int) -> None:
+    def _admit(self, s: _Stream, slot: int) -> None:
         m = self.model
         r = s.request
         nsm = m._resolve_non_streaming_mode(r.get("non_streaming_mode"), default=False)
@@ -196,16 +188,15 @@ class ContinuousBatcher:
                                      jnp.asarray(slot, jnp.int32))
         s.slot = slot
         s.admitted_at = time.perf_counter()
-        s.admitted_chunk = next_chunk
         s.vocoder = m._make_stream_vocoder(ref_codes)
         self._slots[slot] = s
 
-    def _admit_pending(self, next_chunk: int) -> None:
+    def _admit_pending(self) -> None:
         for slot in range(self.B):
             if not self._pending:
                 return
             if self._slots[slot] is None:
-                self._admit(self._pending.popleft(), slot, next_chunk)
+                self._admit(self._pending.popleft(), slot)
 
     # ------------------------------------------------------------------ pump
 
@@ -214,82 +205,56 @@ class ContinuousBatcher:
         (stream_id, audio_chunk float32, sample_rate, timing).
 
         wait=True: keep serving across idle gaps until close() is called —
-        the server mode, where submit() happens from another thread.
-
-        DISPATCH-AHEAD: chunk k+1 is dispatched BEFORE chunk k's frames are
-        host-vocoded, so the B per-slot host vocodes overlap the device's
-        next decode (the solo streaming path's pipelining, applied to the
-        pool pump). Chunk-to-chunk wall drops from decode+B·vocode to
-        max(decode, B·vocode) — both the aggregate-RTF and the boundary
-        wait a joining request pays. Costs: a slot freed by chunk k's fetch
-        re-admits one chunk later (its dones arrive after k+1 already
-        dispatched), and a budget-released lane decodes one discarded
-        in-flight chunk. Attribution across slot reuse is guarded by
-        `_Stream.admitted_chunk` (frames from chunks dispatched before a
-        stream's admission belong to the slot's previous occupant)."""
-        chunk_index = 0  # index of the next chunk to dispatch
-        inflight = None  # (packed device array, its chunk index, dispatch t)
-        while (self._pending or any(self._slots) or inflight is not None
-               or (wait and not self._closed)):
-            if not self._pending and not any(self._slots) and inflight is None:
+        the server mode, where submit() happens from another thread."""
+        m = self.model
+        chunk_index = 0
+        while self._pending or any(self._slots) or (wait and not self._closed):
+            if not self._pending and not any(self._slots):
                 time.sleep(0.001)  # idle: wait for a submit or close()
                 continue
-            self._admit_pending(chunk_index)
-            nxt = None
-            if any(self._slots):
-                m = self.model
-                t0 = time.perf_counter()
-                self._state, packed = aot.call(
-                    "decode_chunk", core.decode_chunk,
-                    talker_params=m.params["talker"], pred_params=m.params["predictor"],
-                    talker_cfg=m.config.talker, pred_cfg=m.config.predictor,
-                    state=self._state, trailing_text=self._tth, tts_pad_embed=self._tpe,
-                    chunk_size=self.chunk_size, sampling=self.sampling,
-                    pred_sampling=self.pred_sampling, min_new_tokens=self.min_new_tokens,
-                )
-                nxt = (packed, chunk_index, t0)
-                chunk_index += 1
-            if inflight is not None:
-                packed, ci, t0 = inflight
-                arr = np.asarray(packed)  # ONE fetch per chunk
-                yield from self._emit(arr, ci, t0)
-            inflight = nxt
-
-    def _emit(self, arr: np.ndarray, ci: int, t_dispatch: float):
-        """Host-vocode one fetched chunk's frames and yield per-stream audio;
-        frees finished slots (visible to the NEXT _admit_pending)."""
-        m = self.model
-        frames = arr[:, :, :-2].astype(np.int32)
-        valid = arr[:, :, -2].astype(bool)
-        done = arr[0, :, -1].astype(bool)
-        decode_ms = (time.perf_counter() - t_dispatch) * 1000.0
-        for slot, s in enumerate(self._slots):
-            if s is None or s.admitted_chunk > ci:
-                continue  # empty, or this chunk predates the slot's stream
-            v = int(valid[:, slot].sum())
-            v = min(v, s.max_new_tokens - s.frames_emitted)
-            finished = bool(done[slot])
-            if v > 0:
-                audio = s.vocoder.vocode_new(frames[:, slot][valid[:, slot]][:v])
-                s.frames_emitted += v
-                if s.first_audio_at is None:
-                    s.first_audio_at = time.perf_counter()
-                if s.frames_emitted >= s.max_new_tokens and not finished:
-                    finished = True
-                    self._state = core.release_slot(
-                        self._state, jnp.asarray(slot, jnp.int32)
-                    )
-                yield s.sid, audio, m.sample_rate, {
-                    "chunk_index": ci,
-                    "slot": slot,
-                    "chunk_steps": v,
-                    "decode_ms": decode_ms,
-                    "total_steps_so_far": s.frames_emitted,
-                    "is_final": finished,
-                    "ttfa_from_submit_ms": round(
-                        (s.first_audio_at - s.submitted_at) * 1000.0, 1),
-                    "admit_wait_ms": round(
-                        (s.admitted_at - s.submitted_at) * 1000.0, 1),
-                }
-            if finished:
-                self._slots[slot] = None  # slot freed for the next admit
+            self._admit_pending()
+            t0 = time.perf_counter()
+            self._state, packed = aot.call(
+                "decode_chunk", core.decode_chunk,
+                talker_params=m.params["talker"], pred_params=m.params["predictor"],
+                talker_cfg=m.config.talker, pred_cfg=m.config.predictor,
+                state=self._state, trailing_text=self._tth, tts_pad_embed=self._tpe,
+                chunk_size=self.chunk_size, sampling=self.sampling,
+                pred_sampling=self.pred_sampling, min_new_tokens=self.min_new_tokens,
+            )
+            arr = np.asarray(packed)  # ONE fetch per chunk
+            frames = arr[:, :, :-2].astype(np.int32)
+            valid = arr[:, :, -2].astype(bool)
+            done = arr[0, :, -1].astype(bool)
+            decode_ms = (time.perf_counter() - t0) * 1000.0
+            for slot, s in enumerate(self._slots):
+                if s is None:
+                    continue
+                v = int(valid[:, slot].sum())
+                v = min(v, s.max_new_tokens - s.frames_emitted)
+                finished = bool(done[slot])
+                if v > 0:
+                    audio = s.vocoder.vocode_new(frames[:, slot][valid[:, slot]][:v])
+                    s.frames_emitted += v
+                    if s.first_audio_at is None:
+                        s.first_audio_at = time.perf_counter()
+                    if s.frames_emitted >= s.max_new_tokens and not finished:
+                        finished = True
+                        self._state = core.release_slot(
+                            self._state, jnp.asarray(slot, jnp.int32)
+                        )
+                    yield s.sid, audio, m.sample_rate, {
+                        "chunk_index": chunk_index,
+                        "slot": slot,
+                        "chunk_steps": v,
+                        "decode_ms": decode_ms,
+                        "total_steps_so_far": s.frames_emitted,
+                        "is_final": finished,
+                        "ttfa_from_submit_ms": round(
+                            (s.first_audio_at - s.submitted_at) * 1000.0, 1),
+                        "admit_wait_ms": round(
+                            (s.admitted_at - s.submitted_at) * 1000.0, 1),
+                    }
+                if finished:
+                    self._slots[slot] = None  # slot freed for the next admit
+            chunk_index += 1
