@@ -19,10 +19,21 @@ The reference has no analog (requests serialize behind a mutex, reference
 openai_server.py:71); this is TPU-native serving structure: fixed-shape
 executables + lane surgery instead of dynamic batching.
 
-Vocoding: per-slot incremental host vocoders (model._StreamVocoder), i.e.
-the mixed-batch path of the lockstep API. Lanes at steady state could share
-a fused device vocode; that optimization is orthogonal to admission and
-deliberately out of this module's first cut.
+Vocoding is two-phase per lane. A lane's first ceil(ctx/chunk) chunks use
+its own incremental host vocoder (model._StreamVocoder): the shared device
+history window still contains the slot's PREVIOUS occupant at those ages.
+Once the lane has >= ctx real frames, the window is entirely its own
+(new_hist = the last ctx frames of [hist | chunk], so occupant garbage ages
+out) and the lane switches to the batched device vocode: one
+`fused_stream._vocode_window` dispatch chained behind the decode chunk
+vocodes EVERY lane's window, one fetch returns audio+tokens+flags for the
+whole pool. The host->fused seam is sample-exact for x-vector lanes: the
+host path's cumulative emission after f frames is f*up - D, and the fused
+window emits window-local [ctx*up - D, (ctx+chunk)*up - D) — absolutely
+contiguous at f = ctx. ICL lanes (ref_code present) keep the host vocoder
+for their whole stream: their early-phase proportional reference trim makes
+the cumulative sample count approximate, so the seam is not exact there
+(same reason the lockstep API routes mixed batches to host vocoders).
 """
 from __future__ import annotations
 
@@ -34,7 +45,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .engine import aot, core
+from .engine import aot, core, fused_stream
 from .engine import generate as gen_lib
 from .ops.sampling import SamplingParams
 
@@ -50,7 +61,8 @@ _set_tth_row_jit = jax.jit(_set_tth_row, donate_argnames=("tth",))
 
 class _Stream:
     __slots__ = ("sid", "request", "slot", "submitted_at", "admitted_at",
-                 "first_audio_at", "vocoder", "frames_emitted", "max_new_tokens")
+                 "first_audio_at", "vocoder", "frames_emitted",
+                 "max_new_tokens", "host_only")
 
     def __init__(self, sid, request, max_new_tokens):
         self.sid = sid
@@ -62,6 +74,9 @@ class _Stream:
         self.vocoder = None
         self.frames_emitted = 0
         self.max_new_tokens = max_new_tokens
+        # ICL lanes stay on the host vocoder (module docstring: the early
+        # proportional reference trim makes the host->fused seam inexact).
+        self.host_only = False
 
 
 class ContinuousBatcher:
@@ -115,6 +130,8 @@ class ContinuousBatcher:
         self._state = None  # built lazily on first admission
         self._tth = None
         self._tpe = None
+        self._hist = None  # [B, ctx, 16] shared codec-history window
+        self._ctx = gen_lib.CONTEXT_FRAMES
         self._closed = False
 
     def close(self) -> None:
@@ -154,6 +171,9 @@ class ContinuousBatcher:
         tb = gen_lib.tth_bucket(tth_row.shape[1])
         self._tth = jnp.zeros((self.B, tb, H), dtype)
         self._tpe = jnp.asarray(tpe, dtype)
+        self._hist = jnp.zeros(
+            (self.B, self._ctx, m.config.talker.num_code_groups), jnp.int32
+        )
 
     def _admit(self, s: _Stream, slot: int) -> None:
         m = self.model
@@ -189,6 +209,7 @@ class ContinuousBatcher:
         s.slot = slot
         s.admitted_at = time.perf_counter()
         s.vocoder = m._make_stream_vocoder(ref_codes)
+        s.host_only = ref_codes is not None
         self._slots[slot] = s
 
     def _admit_pending(self) -> None:
@@ -222,10 +243,19 @@ class ContinuousBatcher:
                 chunk_size=self.chunk_size, sampling=self.sampling,
                 pred_sampling=self.pred_sampling, min_new_tokens=self.min_new_tokens,
             )
-            arr = np.asarray(packed)  # ONE fetch per chunk
-            frames = arr[:, :, :-2].astype(np.int32)
-            valid = arr[:, :, -2].astype(bool)
-            done = arr[0, :, -1].astype(bool)
+            # Batched window vocode chained device-side behind the chunk: one
+            # dispatch, ONE fetch for every lane's audio+tokens+flags (the
+            # lockstep fused path's shape, reused executable-for-executable).
+            self._hist, flat = aot.call(
+                "vocode_window", fused_stream._vocode_window,
+                codec_params=m.params["codec"], talker_cfg=m.config.talker,
+                codec_cfg=m.config.codec, hist=self._hist, packed=packed,
+                chunk_size=self.chunk_size, ctx=self._ctx,
+            )
+            up = m.config.codec.total_upsample
+            audio_b, frames, valid, done = fused_stream.split_fused_output_batch(
+                flat, self.chunk_size, self.B, m.config.talker.num_code_groups, up
+            )
             decode_ms = (time.perf_counter() - t0) * 1000.0
             for slot, s in enumerate(self._slots):
                 if s is None:
@@ -234,7 +264,14 @@ class ContinuousBatcher:
                 v = min(v, s.max_new_tokens - s.frames_emitted)
                 finished = bool(done[slot])
                 if v > 0:
-                    audio = s.vocoder.vocode_new(frames[:, slot][valid[:, slot]][:v])
+                    if not s.host_only and s.frames_emitted >= self._ctx:
+                        # Mature lane: its window rows are all its own real
+                        # frames — take the device-vocoded samples directly.
+                        audio = audio_b[slot, : v * up]
+                    else:
+                        audio = s.vocoder.vocode_new(
+                            frames[:, slot][valid[:, slot]][:v]
+                        )
                     s.frames_emitted += v
                     if s.first_audio_at is None:
                         s.first_audio_at = time.perf_counter()

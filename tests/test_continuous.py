@@ -154,3 +154,41 @@ def test_ttfa_metadata_present(model):
     timings = [t for _sid, _a, _sr, t in cb.run()]
     assert timings[0]["ttfa_from_submit_ms"] >= timings[0]["admit_wait_ms"] >= 0.0
     assert timings[-1]["is_final"]
+
+
+def test_mature_lane_fused_vocode_matches_solo(model):
+    """Streams longer than the vocoder context (24 frames) switch from the
+    per-lane host vocoder to the batched device window vocode; the seam and
+    every fused chunk must still match the solo stream sample-for-sample."""
+    from faster_qwen3_tts_tpu.engine.generate import CONTEXT_FRAMES
+
+    maxnew = CONTEXT_FRAMES + 2 * 8  # 3 host chunks, then >=2 fused chunks
+    reqs = _requests(2)
+
+    def solo(req):
+        parts = []
+        for audio, _sr, _t in model.generate_voice_clone_streaming(
+            req["text"], "English", voice_clone_prompt=req["voice_clone_prompt"],
+            xvec_only=True, chunk_size=8, max_new_tokens=maxnew,
+            min_new_tokens=maxnew, do_sample=False, seed=0, subtalker_dosample=False,
+        ):
+            parts.append(audio)
+        return np.concatenate(parts)
+
+    cb = model.continuous_batcher(
+        max_slots=2, chunk_size=8, max_new_tokens=maxnew, min_new_tokens=maxnew,
+        do_sample=False, seed=0, subtalker_dosample=False,
+    )
+    sids = [cb.submit(r) for r in reqs]
+    got = {sid: [] for sid in sids}
+    for sid, audio, _sr, _t in cb.run():
+        got[sid].append(audio)
+    for sid, req in zip(sids, reqs):
+        want = solo(req)
+        have = np.concatenate(got[sid])
+        assert have.shape == want.shape, (sid, have.shape, want.shape)
+        # the stream must actually cross the context boundary, or the fused
+        # branch was never taken and this test proves nothing
+        up = model.config.codec.total_upsample
+        assert len(have) > CONTEXT_FRAMES * up, "stream ended before maturity"
+        np.testing.assert_allclose(have, want, atol=1e-4)
