@@ -46,7 +46,9 @@ def run_one(size: str, quant: str, frames: int, chunk: int):
     wav = np.concatenate(chunks)
 
     # Greedy frame tokens via the non-streaming engine (same decode graph).
+    from faster_qwen3_tts_tpu.engine import aot, core
     from faster_qwen3_tts_tpu.engine import generate as gen_lib
+    from faster_qwen3_tts_tpu.ops.sampling import SamplingParams
 
     tie, tam, tth, tpe, _ = model._prepare_generation(
         text=TEXT, language="English", ref_audio=None, ref_text="",
@@ -54,13 +56,31 @@ def run_one(size: str, quant: str, frames: int, chunk: int):
         voice_clone_prompt=prompt, instruct=None,
     )
     codes, _t = gen_lib.fast_generate(
-        model.params, model.cfg, tie, tam, tth, tpe,
+        model.params, model.config, tie, tam, tth, tpe,
         max_seq_len=model.max_seq_len, max_new_tokens=frames,
         do_sample=False, subtalker_dosample=False, seed=0,
     )
+
+    # Prefill logits under the IDENTICAL context: the conditional
+    # next-frame distribution both arms see before any AR divergence —
+    # the metric that actually isolates quant noise (see main()).
+    sess = gen_lib.GenerationSession(
+        model.params, model.config, tie, tam, tth, tpe, model.max_seq_len,
+        SamplingParams(0.9, 50, 1.0, False, 1.05),
+        gen_lib.predictor_sampling(False, None, None, None), 2,
+        seed=0, dtype=model.dtype,
+    )
+    _state, logits = aot.call(
+        "start_state", core.start_state,
+        talker_params=model.params["talker"], talker_cfg=model.config.talker,
+        embeds=sess.tie, pad_mask=sess.mask, key=sess.key,
+        max_seq=model.max_seq_len, sampling=sess.sampling,
+        min_new_tokens=sess.min_new_tokens,
+    )
+    logits = np.asarray(logits, np.float64)[0]
     print(f"[{quant}] {len(codes)} frames, {wav.size} samples "
           f"in {time.perf_counter() - t0:.1f}s", flush=True)
-    return np.asarray(codes), np.asarray(wav, np.float64)
+    return np.asarray(codes), np.asarray(wav, np.float64), logits
 
 
 def main():
@@ -70,8 +90,8 @@ def main():
     ap.add_argument("--chunk", type=int, default=8)
     args = ap.parse_args()
 
-    fa, a = run_one(args.model, "BF16", args.frames, args.chunk)
-    fq, b = run_one(args.model, "Q8_0", args.frames, args.chunk)
+    fa, a, la = run_one(args.model, "BF16", args.frames, args.chunk)
+    fq, b, lq = run_one(args.model, "Q8_0", args.frames, args.chunk)
 
     n = min(len(fa), len(fq))
     agree = np.all(fa[:n] == fq[:n], axis=1)
@@ -86,16 +106,38 @@ def main():
         snr = 10 * np.log10(float(np.sum(x**2) / (np.sum((x - y) ** 2) + 1e-12)))
         return {"cosine": round(cos, 6), "snr_db": round(snr, 2), "samples": m}
 
+    # Conditional (identical-context) metrics: the quant-noise floor. The
+    # free-running waveform rows below measure AR DIVERGENCE, not quality:
+    # random-init logits are near-uniform, so any perturbation flips the
+    # frame-0 argmax and the two decodes tell different (equally random)
+    # utterances from there. A trained checkpoint has peaked logits, where
+    # the conditional metrics are the ones that transfer.
+    def softmax(z):
+        z = z - z.max()
+        e = np.exp(z)
+        return e / e.sum()
+    pa, pq = softmax(la), softmax(lq)
+    k = 8
+    ta, tq = set(np.argsort(la)[-k:]), set(np.argsort(lq)[-k:])
+    cond = {
+        "prefill_logit_cosine": round(float(
+            la @ lq / (np.linalg.norm(la) * np.linalg.norm(lq) + 1e-12)), 6),
+        "prefill_top1_equal": bool(int(la.argmax()) == int(lq.argmax())),
+        f"prefill_top{k}_overlap": len(ta & tq) / k,
+        "prefill_max_abs_prob_delta": round(float(np.abs(pa - pq).max()), 6),
+    }
+
     up = len(a) // max(len(fa), 1)  # samples per frame
     pref = first_div * up
     out = {
         "model": args.model,
         "frames_bf16": int(len(fa)),
         "frames_q8": int(len(fq)),
+        "conditional": cond,
         "token_agreement_fraction": round(float(agree.mean()), 4),
         "first_diverging_frame": first_div,
         "prefix": metrics(a[:pref], b[:pref]),
-        "full": metrics(a, b),
+        "full_free_running": metrics(a, b),
     }
     print(out, flush=True)
     save_results(f"quant_delta_{args.model}", out)
