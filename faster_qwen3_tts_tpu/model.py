@@ -287,6 +287,20 @@ class FasterQwen3TTS:
                 sum(b.nbytes for b in bundle_blobs.values()) / 1e6, 1
             )
             tok = PromptTokenizer(load_tokenizer(model_name))
+            from .utils.tokenizer import ByteTokenizer
+
+            if isinstance(tok.base, ByteTokenizer):
+                # A production bundle must carry its tokenizer
+                # (save_deploy_bundle copies the assets); byte-tokenizing a
+                # real checkpoint silently produces garbage speech.
+                logger.warning(
+                    "deploy bundle %s has no tokenizer assets "
+                    "(tokenizer.json/vocab.json); falling back to the BYTE "
+                    "tokenizer — fine for random-init benchmarks, wrong for "
+                    "real checkpoints. Re-create the bundle with "
+                    "model.save_deploy_bundle / the `bundle` CLI, or copy "
+                    "the tokenizer files in.", model_name,
+                )
         elif os.path.isdir(model_name) and weights_lib.is_own_checkpoint(model_name):
             params, config = weights_lib.load_pretrained(model_name)
             tok = PromptTokenizer(load_tokenizer(model_name))
@@ -326,6 +340,7 @@ class FasterQwen3TTS:
         from .ops import quant as quant_lib
 
         mode = quant_lib.resolve_quant_name(quant)
+        quantize_after_unpack = None
         if bundle_mode is not None and bundle_mode != "none":
             # The bundle ships pre-quantized weights; re-quantizing int8 is
             # both wasteful and lossy, so a conflicting request is an error.
@@ -335,7 +350,13 @@ class FasterQwen3TTS:
                     f"requested quant={quant!r} conflicts"
                 )
         elif mode != "none":
-            params = quant_lib.quantize_model_params(params, mode)
+            if bundle_mode is not None:
+                # Unquantized bundle + quant request: params aren't resident
+                # yet (the unpack runs after the preload join below), so
+                # quantize there, device-side.
+                quantize_after_unpack = mode
+            else:
+                params = quant_lib.quantize_model_params(params, mode)
         mark_load("quantize")
 
         mesh = None
@@ -375,6 +396,10 @@ class FasterQwen3TTS:
             # _device_unpack): bandwidth-bound on the host<->device link.
             params = weights_lib._device_unpack(bundle_blobs, bundle_manifest)
             del bundle_blobs
+            if quantize_after_unpack is not None:
+                params = quant_lib.quantize_model_params(
+                    params, quantize_after_unpack
+                )
         if mesh is not None:
             from .parallel import mesh as mesh_lib
 
@@ -394,6 +419,8 @@ class FasterQwen3TTS:
         mark_load("device_transfer")
         model = cls(params, config, tok, max_seq_len=max_seq_len, dtype=dtype, mesh=mesh)
         model.load_phases = load_phases
+        # Remembered so save_deploy_bundle can copy tokenizer assets over.
+        model._source_path = model_name if os.path.isdir(model_name) else None
         return model
 
     def save_deploy_bundle(self, path: str, compact_f32: bool = True) -> None:
@@ -415,6 +442,26 @@ class FasterQwen3TTS:
             quant_mode=quant_lib.infer_quant_mode(host),
             compact_f32=compact_f32,
         )
+        # The bundle must be loadable standalone: copy tokenizer assets from
+        # the source checkpoint, or the restart would silently fall back to
+        # the byte tokenizer and produce garbage speech on real checkpoints.
+        import shutil
+
+        src = getattr(self, "_source_path", None)
+        copied = 0
+        if src and os.path.isdir(src):
+            for f in ("tokenizer.json", "tokenizer_config.json", "vocab.json",
+                      "merges.txt", "special_tokens_map.json"):
+                p = os.path.join(src, f)
+                if os.path.exists(p):
+                    shutil.copy2(p, os.path.join(path, f))
+                    copied += 1
+        if copied == 0:
+            logger.warning(
+                "save_deploy_bundle(%s): no tokenizer assets found to copy "
+                "(source: %r) — from_pretrained on this bundle will use the "
+                "byte tokenizer (benchmark mode only).", path, src,
+            )
 
     # ---------------------------------------------------------------- warmup
 

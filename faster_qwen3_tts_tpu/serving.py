@@ -132,11 +132,20 @@ class ContinuousBatcher:
         self._tpe = None
         self._hist = None  # [B, ctx, 16] shared codec-history window
         self._ctx = gen_lib.CONTEXT_FRAMES
+        self._cancelled: set = set()
         self._closed = False
 
     def close(self) -> None:
         """No further submits: run(wait=True) drains and returns."""
         self._closed = True
+
+    def cancel(self, sid: int) -> None:
+        """Release a stream's lane at the next chunk boundary (e.g. the
+        client disconnected): without this a dead request would keep
+        decoding up to its max_new_tokens while occupying a pool slot.
+        Safe from any thread; unknown/finished sids are ignored. The pump
+        yields one final `cancelled` terminal for the stream."""
+        self._cancelled.add(sid)
 
     # ------------------------------------------------------------- admission
 
@@ -189,6 +198,15 @@ class ContinuousBatcher:
         )
         if self._state is None:
             self._bootstrap(np.asarray(tth, np.float32), tpe)
+        if tth.shape[1] > self._tth.shape[1]:
+            # The pool's trailing-text bucket is one compiled shape; a
+            # longer-than-bucket text must fail THIS request (before any
+            # lane surgery touches shared state), never the pump.
+            raise ValueError(
+                f"request trailing text ({tth.shape[1]} rows) exceeds the "
+                f"pool's compiled bucket ({self._tth.shape[1]}); shorten the "
+                "text or serve it through the solo/lockstep path"
+            )
         # B=1 prefill through the SAME bucketed executable solo serving uses
         # (warm from warmup()), then lane surgery into the running batch.
         sess = gen_lib.GenerationSession(
@@ -212,12 +230,20 @@ class ContinuousBatcher:
         s.host_only = ref_codes is not None
         self._slots[slot] = s
 
-    def _admit_pending(self) -> None:
+    def _admit_pending(self) -> List[Tuple[_Stream, Exception]]:
+        """Admit pending requests into free slots. A request whose admission
+        fails (oversized text/prompt, bad voice_clone_prompt, ...) is
+        returned as a (stream, error) pair for the pump to terminate —
+        admission errors are per-request, never fatal to the pool."""
+        failed: List[Tuple[_Stream, Exception]] = []
         for slot in range(self.B):
-            if not self._pending:
-                return
-            if self._slots[slot] is None:
-                self._admit(self._pending.popleft(), slot)
+            while self._pending and self._slots[slot] is None:
+                s = self._pending.popleft()
+                try:
+                    self._admit(s, slot)
+                except Exception as e:  # noqa: BLE001 — isolate bad requests
+                    failed.append((s, e))
+        return failed
 
     # ------------------------------------------------------------------ pump
 
@@ -233,7 +259,49 @@ class ContinuousBatcher:
             if not self._pending and not any(self._slots):
                 time.sleep(0.001)  # idle: wait for a submit or close()
                 continue
-            self._admit_pending()
+            for s, err in self._admit_pending():
+                # Per-request admission failure: terminate THAT request with
+                # an error terminal; the pool keeps serving everyone else.
+                yield s.sid, np.zeros((0,), np.float32), m.sample_rate, {
+                    "chunk_index": chunk_index, "slot": -1, "chunk_steps": 0,
+                    "decode_ms": 0.0, "total_steps_so_far": 0,
+                    "is_final": True, "error": str(err),
+                    "ttfa_from_submit_ms": round(
+                        (time.perf_counter() - s.submitted_at) * 1000.0, 1),
+                    "admit_wait_ms": round(
+                        (time.perf_counter() - s.submitted_at) * 1000.0, 1),
+                }
+            if self._cancelled:
+                # Free cancelled lanes BEFORE the next dispatch: release the
+                # KV lane, drop still-pending cancelled submissions, and
+                # yield each stream's terminal.
+                for _ in range(len(self._pending)):
+                    p = self._pending.popleft()
+                    if p.sid in self._cancelled:
+                        self._cancelled.discard(p.sid)
+                    else:
+                        self._pending.append(p)
+                for slot, s in enumerate(self._slots):
+                    if s is None or s.sid not in self._cancelled:
+                        continue
+                    self._state = core.release_slot(
+                        self._state, jnp.asarray(slot, jnp.int32)
+                    )
+                    self._slots[slot] = None
+                    self._cancelled.discard(s.sid)
+                    yield s.sid, np.zeros((0,), np.float32), m.sample_rate, {
+                        "chunk_index": chunk_index, "slot": slot,
+                        "chunk_steps": 0, "decode_ms": 0.0,
+                        "total_steps_so_far": s.frames_emitted,
+                        "is_final": True, "cancelled": True,
+                        "ttfa_from_submit_ms": round(
+                            ((s.first_audio_at or time.perf_counter())
+                             - s.submitted_at) * 1000.0, 1),
+                        "admit_wait_ms": round(
+                            (s.admitted_at - s.submitted_at) * 1000.0, 1),
+                    }
+            if not any(self._slots):
+                continue  # every pending request failed admission/cancelled
             t0 = time.perf_counter()
             self._state, packed = aot.call(
                 "decode_chunk", core.decode_chunk,
@@ -280,18 +348,30 @@ class ContinuousBatcher:
                         self._state = core.release_slot(
                             self._state, jnp.asarray(slot, jnp.int32)
                         )
-                    yield s.sid, audio, m.sample_rate, {
-                        "chunk_index": chunk_index,
-                        "slot": slot,
-                        "chunk_steps": v,
-                        "decode_ms": decode_ms,
-                        "total_steps_so_far": s.frames_emitted,
-                        "is_final": finished,
-                        "ttfa_from_submit_ms": round(
-                            (s.first_audio_at - s.submitted_at) * 1000.0, 1),
-                        "admit_wait_ms": round(
-                            (s.admitted_at - s.submitted_at) * 1000.0, 1),
-                    }
+                elif finished:
+                    # EOS landed exactly on the previous chunk boundary:
+                    # this chunk carries zero valid frames for the lane, but
+                    # the consumer still needs its is_final terminal (a
+                    # server maps it to the end-of-stream sentinel; without
+                    # it the request would hang forever).
+                    audio = np.zeros((0,), np.float32)
+                else:
+                    continue
+                if s.first_audio_at is None:
+                    s.first_audio_at = time.perf_counter()
+                yield s.sid, audio, m.sample_rate, {
+                    "chunk_index": chunk_index,
+                    "slot": slot,
+                    "chunk_steps": v,
+                    "decode_ms": decode_ms,
+                    "total_steps_so_far": s.frames_emitted,
+                    "is_final": finished,
+                    "ttfa_from_submit_ms": round(
+                        (s.first_audio_at - s.submitted_at) * 1000.0, 1),
+                    "admit_wait_ms": round(
+                        (s.admitted_at - s.submitted_at) * 1000.0, 1),
+                }
                 if finished:
                     self._slots[slot] = None  # slot freed for the next admit
+                    self._cancelled.discard(s.sid)  # no stale-entry buildup
             chunk_index += 1

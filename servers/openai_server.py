@@ -225,8 +225,16 @@ class ContinuousScheduler:
                             job.out_q.put(float_to_pcm16(audio), timeout=30)
                         except queue.Full:
                             job.cancelled = True
+                    if job.cancelled and not timing.get("is_final"):
+                        # Dead consumer: release the lane instead of decoding
+                        # its remaining max_new_tokens budget into the void.
+                        self.cb.cancel(sid)
                     if timing.get("is_final"):
-                        terminal_put(job.out_q, None)
+                        # Per-request admission failures arrive as an error
+                        # terminal (serving._admit_pending): the client gets
+                        # a real error, not an empty 200.
+                        err = timing.get("error")
+                        terminal_put(job.out_q, RuntimeError(err) if err else None)
                         with self._lock:
                             self._jobs.pop(sid, None)
                 return  # run() only exits after close(); server never closes

@@ -313,8 +313,12 @@ def test_trace_env_flags_complete():
     pkg_dir = Path(pkg.__file__).parent
     found = set()
     for path in pkg_dir.rglob("*.py"):
+        text = path.read_text()
+        # every idiomatic env-read spelling: os.environ.get("X"),
+        # os.environ["X"], os.getenv("X")
         for m in re.finditer(
-            r"environ(?:\.get)?\(\s*['\"](FQ3T[A-Z0-9_]*)['\"]", path.read_text()
+            r"(?:environ(?:\.get)?\(|getenv\(|environ\[)\s*['\"](FQ3T[A-Z0-9_]*)['\"]",
+            text,
         ):
             found.add(m.group(1))
     classified = set(aot._TRACE_ENV_FLAGS) | SHAPE_AFFECTING | HOST_ROUTING

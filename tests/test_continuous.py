@@ -192,3 +192,77 @@ def test_mature_lane_fused_vocode_matches_solo(model):
         up = model.config.codec.total_upsample
         assert len(have) > CONTEXT_FRAMES * up, "stream ended before maturity"
         np.testing.assert_allclose(have, want, atol=1e-4)
+
+
+def test_eos_at_chunk_boundary_still_yields_is_final(model, monkeypatch):
+    """A stream whose EOS lands exactly on a chunk boundary produces a
+    zero-valid final chunk; the pump must still yield an is_final terminal
+    (a server maps it to end-of-stream — without it the request hangs;
+    code-review r5 finding #1)."""
+    import jax.numpy as jnp
+
+    from faster_qwen3_tts_tpu import serving as serving_mod
+
+    real_call = serving_mod.aot.call
+    state = {"chunks": 0}
+
+    def fake_call(name, fn, **kw):
+        if name == "decode_chunk":
+            state["chunks"] += 1
+            st, packed = real_call(name, fn, **kw)
+            if state["chunks"] >= 2:
+                # zero valid frames, done=True for every lane
+                packed = packed.at[:, :, -2].set(0).at[:, :, -1].set(1)
+                st = st._replace(done=jnp.ones_like(st.done))
+            return st, packed
+        return real_call(name, fn, **kw)
+
+    monkeypatch.setattr(serving_mod.aot, "call", fake_call)
+    cb = _greedy_batcher(model, max_slots=1)
+    sid = cb.submit(_requests(1)[0])
+    timings = [t for got_sid, _a, _sr, t in cb.run() if got_sid == sid]
+    assert timings, "stream yielded nothing"
+    assert timings[-1]["is_final"], "terminal chunk missing -> server would hang"
+    assert timings[-1]["chunk_steps"] == 0  # the zero-valid final chunk
+
+
+def test_cancel_releases_lane(model):
+    """cancel(sid) frees the lane at the next boundary with one cancelled
+    is_final terminal; the other stream is unaffected (code-review r5 #5)."""
+    reqs = _requests(2)
+    cb = model.continuous_batcher(
+        max_slots=2, chunk_size=CHUNK, max_new_tokens=64,
+        do_sample=False, seed=0, subtalker_dosample=False,
+    )
+    sid0, sid1 = cb.submit(reqs[0]), cb.submit(reqs[1])
+    got = {sid0: [], sid1: []}
+    finals = {}
+    for sid, audio, _sr, timing in cb.run():
+        got[sid].append(audio)
+        if sid == sid0 and timing["chunk_index"] == 0:
+            cb.cancel(sid0)
+        if timing.get("is_final"):
+            finals[sid] = timing
+    assert finals[sid0].get("cancelled") is True
+    assert finals[sid0]["total_steps_so_far"] <= 2 * CHUNK  # stopped early
+    assert "cancelled" not in finals[sid1]
+    assert sum(len(a) for a in got[sid1]) > sum(len(a) for a in got[sid0])
+
+
+def test_oversized_request_fails_alone(model):
+    """A request whose trailing text exceeds the pool's compiled bucket gets
+    its own error terminal; co-tenant streams finish normally (code-review
+    r5 #3 — previously the pump crashed, killing every in-flight stream)."""
+    reqs = _requests(1)
+    cb = _greedy_batcher(model, max_slots=2)
+    ok_sid = cb.submit(reqs[0])
+    bad = dict(reqs[0])
+    bad["text"] = "word " * 3000  # tth far beyond the pool bucket
+    bad_sid = cb.submit(bad)
+    finals, audio_len = {}, {}
+    for sid, audio, _sr, timing in cb.run():
+        audio_len[sid] = audio_len.get(sid, 0) + len(audio)
+        if timing.get("is_final"):
+            finals[sid] = timing
+    assert "error" in finals[bad_sid] and audio_len[bad_sid] == 0
+    assert "error" not in finals[ok_sid] and audio_len[ok_sid] > 0

@@ -257,3 +257,34 @@ def test_infer_quant_mode():
     assert quant_lib.infer_quant_mode(tree(q8, q4)) == "mixed"
     with pytest.raises(ValueError, match="unrecognized"):
         quant_lib.infer_quant_mode(tree(q4, q8))
+
+
+def test_unquantized_bundle_quantizes_on_load(tiny_config, tmp_path):
+    """quant=Q8_0 on an UNQUANTIZED bundle quantizes after the device
+    unpack instead of crashing on the not-yet-resident params
+    (code-review r5 finding #4)."""
+    from faster_qwen3_tts_tpu.model import FasterQwen3TTS
+    from faster_qwen3_tts_tpu.ops import quant as quant_lib
+
+    params = weights_lib.init_all(tiny_config, seed=0, dtype=jnp.float32, device_put=False)
+    weights_lib.save_deploy_bundle(str(tmp_path), params, tiny_config, quant_mode="none")
+    m = FasterQwen3TTS.from_pretrained(str(tmp_path), quant="Q8_0", max_seq_len=128)
+    assert isinstance(m.params["talker"]["layers"]["wq"], quant_lib.QuantizedLinear)
+
+
+def test_bundle_carries_tokenizer_assets(tiny_config, tmp_path):
+    """save_deploy_bundle copies tokenizer assets from the source checkpoint
+    so a bundle restart doesn't silently byte-tokenize (code-review r5 #2)."""
+    from faster_qwen3_tts_tpu.model import FasterQwen3TTS
+
+    src = tmp_path / "src"
+    params = weights_lib.init_all(tiny_config, seed=0, dtype=jnp.float32, device_put=False)
+    weights_lib.save_pretrained(str(src), params, tiny_config)
+    (src / "tokenizer.json").write_text("{}")
+    (src / "tokenizer_config.json").write_text("{}")
+
+    m = FasterQwen3TTS.from_pretrained(str(src), max_seq_len=128)
+    out = tmp_path / "bundle"
+    m.save_deploy_bundle(str(out), compact_f32=False)
+    assert (out / "tokenizer.json").exists()
+    assert (out / "tokenizer_config.json").exists()
