@@ -7,13 +7,26 @@ B=1 -> 8 (bench_results_multistream_e2e). This module is the admission-
 control answer (VERDICT r4 next #6): a fixed pool of B engine lanes runs a
 steady chunk pump, and each arriving request pays only
 
-    its OWN device-assembled prompt + B=1 prefill (the solo executables,
-    warm from warmup()) + at most one in-flight chunk of waiting,
+    its OWN device-assembled prompt + B=1 prefill + ONE SOLO FIRST CHUNK
+    (both through the solo executables, warm from warmup()) + at most one
+    in-flight chunk of waiting,
 
 then enters via `core.insert_slot` — a donated dynamic-slice write of one
 lane of the batch KV cache. Finished lanes (EOS or budget) free their slot
 for the next pending request. The compiled decode executable never changes
 shape.
+
+The solo first chunk is the TTFA move (round 5): without it, a joining
+request's first audio waited for the NEXT pool-wide chunk — a chunk-8 step
+walls ~0.5 s at B=8, which dominated TTFA-from-submit (758 ms p50 in the
+first r5 capture). Decoding the first `first_chunk_size` frames through the
+B=1 `decode_chunk` executable at admission (device idle at a boundary) and
+vocoding them through the lane's own host vocoder emits first audio in
+B=1 time, independent of pool width; the lane then enters the pool with
+`first` frames already emitted and its hist-window rows seeded so the
+young->mature vocode accounting stays exact. Cost: the pool stalls one solo
+chunk (~tens of ms) per admission — latency bought with a sliver of
+aggregate throughput.
 
 The reference has no analog (requests serialize behind a mutex, reference
 openai_server.py:71); this is TPU-native serving structure: fixed-shape
@@ -59,6 +72,19 @@ def _set_tth_row(tth, row, slot):
 _set_tth_row_jit = jax.jit(_set_tth_row, donate_argnames=("tth",))
 
 
+def _seed_hist_row(hist, frames, slot):
+    """Write a lane's solo-first-chunk frames into the NEWEST rows of its
+    shared-history window [B, ctx, 16], so `frames_emitted >= ctx` keeps
+    meaning "every window row is the lane's own real frame" (the maturity
+    condition for the batched device vocode)."""
+    z = jnp.zeros((), jnp.int32)
+    start = jnp.asarray(hist.shape[1] - frames.shape[0], jnp.int32)
+    return jax.lax.dynamic_update_slice(hist, frames[None], (slot, start, z))
+
+
+_seed_hist_row_jit = jax.jit(_seed_hist_row, donate_argnames=("hist",))
+
+
 class _Stream:
     __slots__ = ("sid", "request", "slot", "submitted_at", "admitted_at",
                  "first_audio_at", "vocoder", "frames_emitted",
@@ -96,6 +122,7 @@ class ContinuousBatcher:
         model,
         max_slots: int = 8,
         chunk_size: int = 8,
+        first_chunk_size: Optional[int] = None,
         max_new_tokens: int = 2048,
         min_new_tokens: int = 2,
         temperature: float = 0.9,
@@ -115,6 +142,10 @@ class ContinuousBatcher:
         self.model = model
         self.B = max_slots
         self.chunk_size = chunk_size
+        # The solo admission chunk: smaller = earlier first audio, at the
+        # cost of one extra warm decode_chunk executable shape. Defaults to
+        # chunk_size (always warm wherever the pool's own chunk is).
+        self.first_chunk = first_chunk_size or chunk_size
         self.max_new_tokens = max_new_tokens
         self.min_new_tokens = min_new_tokens
         self.sampling = SamplingParams(temperature, top_k, top_p, do_sample,
@@ -184,7 +215,12 @@ class ContinuousBatcher:
             (self.B, self._ctx, m.config.talker.num_code_groups), jnp.int32
         )
 
-    def _admit(self, s: _Stream, slot: int) -> None:
+    def _admit(self, s: _Stream, slot: int) -> Tuple[np.ndarray, int, bool, float]:
+        """Admit one stream: B=1 prefill + SOLO first chunk (first audio
+        emitted here, in B=1 time), then lane surgery into the running batch.
+        Returns (first_audio, frames_emitted, finished, solo_ms); when
+        `finished` (EOS or budget inside the first chunk) the stream never
+        occupies the slot."""
         m = self.model
         r = s.request
         nsm = m._resolve_non_streaming_mode(r.get("non_streaming_mode"), default=False)
@@ -208,13 +244,36 @@ class ContinuousBatcher:
                 "text or serve it through the solo/lockstep path"
             )
         # B=1 prefill through the SAME bucketed executable solo serving uses
-        # (warm from warmup()), then lane surgery into the running batch.
+        # (warm from warmup()).
         sess = gen_lib.GenerationSession(
             m.params, m.config, tie, tam, tth, tpe, m.max_seq_len,
             self.sampling, self.pred_sampling, self.min_new_tokens,
             seed=self._seed, dtype=m.dtype,
         )
+        s.admitted_at = time.perf_counter()
         sess.prefill(block=False)
+        # Solo first chunk: first audio NOW instead of after the next
+        # pool-wide chunk wall. One fetch drains prefill + chunk together;
+        # the lane's own vocoder (the young-phase host path) keeps sample
+        # continuity with every later chunk for xvec AND ICL lanes alike.
+        t0 = time.perf_counter()
+        frames, done = sess.decode_chunk(self.first_chunk)
+        v = min(frames.shape[0], s.max_new_tokens)
+        s.vocoder = m._make_stream_vocoder(ref_codes)
+        s.host_only = ref_codes is not None
+        audio = (s.vocoder.vocode_new(frames[:v]) if v > 0
+                 else np.zeros((0,), np.float32))
+        s.frames_emitted = v
+        now = time.perf_counter()
+        if v > 0:
+            s.first_audio_at = now
+        finished = bool(done) or v >= s.max_new_tokens
+        if finished:
+            return audio, v, True, (now - t0) * 1000.0
+        # Not finished => no EOS and no budget stop => every frame of the
+        # solo chunk was valid: v == first_chunk. Lane surgery: KV/state into
+        # the pool, trailing text row, and the hist window's newest rows
+        # seeded with the solo frames (maturity accounting stays exact).
         self._state = core.insert_slot(
             self._state, sess.state, jnp.asarray(slot, jnp.int32)
         )
@@ -224,26 +283,33 @@ class ContinuousBatcher:
         ) if tth.shape[1] != tb else tth
         self._tth = _set_tth_row_jit(self._tth, jnp.asarray(row),
                                      jnp.asarray(slot, jnp.int32))
+        k = min(v, self._ctx)
+        self._hist = _seed_hist_row_jit(
+            self._hist, jnp.asarray(frames[v - k:v], jnp.int32),
+            jnp.asarray(slot, jnp.int32),
+        )
         s.slot = slot
-        s.admitted_at = time.perf_counter()
-        s.vocoder = m._make_stream_vocoder(ref_codes)
-        s.host_only = ref_codes is not None
         self._slots[slot] = s
+        return audio, v, False, (now - t0) * 1000.0
 
-    def _admit_pending(self) -> List[Tuple[_Stream, Exception]]:
-        """Admit pending requests into free slots. A request whose admission
-        fails (oversized text/prompt, bad voice_clone_prompt, ...) is
-        returned as a (stream, error) pair for the pump to terminate —
-        admission errors are per-request, never fatal to the pool."""
+    def _admit_pending(self):
+        """Admit pending requests into free slots. Returns (emissions,
+        failures): emissions are the solo-first-chunk yields (one per
+        admitted or admission-finished stream); a request whose admission
+        fails (oversized text/prompt, bad voice_clone_prompt, ...) becomes a
+        (stream, error) pair for the pump to terminate — admission errors
+        are per-request, never fatal to the pool."""
+        emits: List[Tuple[_Stream, int, np.ndarray, int, bool, float]] = []
         failed: List[Tuple[_Stream, Exception]] = []
         for slot in range(self.B):
             while self._pending and self._slots[slot] is None:
                 s = self._pending.popleft()
                 try:
-                    self._admit(s, slot)
+                    audio, v, finished, solo_ms = self._admit(s, slot)
+                    emits.append((s, slot, audio, v, finished, solo_ms))
                 except Exception as e:  # noqa: BLE001 — isolate bad requests
                     failed.append((s, e))
-        return failed
+        return emits, failed
 
     # ------------------------------------------------------------------ pump
 
@@ -259,7 +325,8 @@ class ContinuousBatcher:
             if not self._pending and not any(self._slots):
                 time.sleep(0.001)  # idle: wait for a submit or close()
                 continue
-            for s, err in self._admit_pending():
+            emits, failed = self._admit_pending()
+            for s, err in failed:
                 # Per-request admission failure: terminate THAT request with
                 # an error terminal; the pool keeps serving everyone else.
                 yield s.sid, np.zeros((0,), np.float32), m.sample_rate, {
@@ -271,6 +338,23 @@ class ContinuousBatcher:
                     "admit_wait_ms": round(
                         (time.perf_counter() - s.submitted_at) * 1000.0, 1),
                 }
+            for s, slot, audio, v, finished, solo_ms in emits:
+                # Solo first chunk: the stream's first audio, emitted at
+                # admission in B=1 time (is_final when EOS/budget landed
+                # inside it — the stream then never occupied the slot).
+                yield s.sid, audio, m.sample_rate, {
+                    "chunk_index": chunk_index, "slot": slot,
+                    "chunk_steps": v, "decode_ms": round(solo_ms, 1),
+                    "total_steps_so_far": s.frames_emitted,
+                    "is_final": finished, "solo_first_chunk": True,
+                    "ttfa_from_submit_ms": round(
+                        ((s.first_audio_at or time.perf_counter())
+                         - s.submitted_at) * 1000.0, 1),
+                    "admit_wait_ms": round(
+                        (s.admitted_at - s.submitted_at) * 1000.0, 1),
+                }
+                if finished:
+                    self._cancelled.discard(s.sid)
             if self._cancelled:
                 # Free cancelled lanes BEFORE the next dispatch: release the
                 # KV lane, drop still-pending cancelled submissions, and

@@ -194,6 +194,88 @@ def test_mature_lane_fused_vocode_matches_solo(model):
         np.testing.assert_allclose(have, want, atol=1e-4)
 
 
+def test_solo_first_chunk_emitted_at_admission(model):
+    """Round-5 TTFA fix: a stream's FIRST emission happens at admission
+    (solo_first_chunk=True, B=1 executables), not after the next pool-wide
+    chunk — at B=8 a pool chunk walls ~0.5 s, which dominated
+    TTFA-from-submit in the first r5 capture."""
+    reqs = _requests(2)
+    cb = _greedy_batcher(model, max_slots=2)
+    sids = [cb.submit(r) for r in reqs]
+    first_emit = {}
+    for sid, audio, _sr, timing in cb.run():
+        if sid not in first_emit:
+            first_emit[sid] = (timing, len(audio))
+    for sid in sids:
+        timing, n = first_emit[sid]
+        assert timing.get("solo_first_chunk") is True
+        assert timing["chunk_steps"] == CHUNK and n > 0
+        # emitted before any pool chunk advanced the stream further
+        assert timing["total_steps_so_far"] == CHUNK
+
+
+def test_smaller_solo_first_chunk_matches_solo(model):
+    """first_chunk_size < chunk_size: earlier first audio, stream audio
+    still byte-identical to the solo run (the lane enters the pool with a
+    partial chunk emitted; hist seeding + frames_emitted stay consistent)."""
+    reqs = _requests(2)
+    cb = model.continuous_batcher(
+        max_slots=2, chunk_size=CHUNK, first_chunk_size=2,
+        max_new_tokens=MAXNEW, do_sample=False, seed=0, subtalker_dosample=False,
+    )
+    sids = [cb.submit(r) for r in reqs]
+    got = {sid: [] for sid in sids}
+    firsts = {}
+    for sid, audio, _sr, timing in cb.run():
+        got[sid].append(audio)
+        firsts.setdefault(sid, timing)
+    for sid, req in zip(sids, reqs):
+        assert firsts[sid]["chunk_steps"] == 2  # the small solo chunk
+        np.testing.assert_allclose(
+            np.concatenate(got[sid]), _solo(model, req), atol=1e-4
+        )
+
+
+def test_mature_lane_with_solo_prefix_crosses_seam_exactly(model):
+    """The maturity seam with a solo-first-chunk prefix: the hist window's
+    seeded rows must make the first DEVICE-vocoded chunk sample-exact (a
+    mis-seeded window would splice the previous occupant's frames into the
+    vocoder context)."""
+    from faster_qwen3_tts_tpu.engine.generate import CONTEXT_FRAMES
+
+    maxnew = CONTEXT_FRAMES + 2 * 8
+    req = _requests(1)[0]
+
+    def solo(req):
+        parts = []
+        for audio, _sr, _t in model.generate_voice_clone_streaming(
+            req["text"], "English", voice_clone_prompt=req["voice_clone_prompt"],
+            xvec_only=True, chunk_size=8, max_new_tokens=maxnew,
+            min_new_tokens=maxnew, do_sample=False, seed=0, subtalker_dosample=False,
+        ):
+            parts.append(audio)
+        return np.concatenate(parts)
+
+    # Pre-dirty the pool: run a throwaway stream first so slot 0's hist rows
+    # hold ANOTHER stream's frames when the probe stream is admitted.
+    cb = model.continuous_batcher(
+        max_slots=1, chunk_size=8, max_new_tokens=maxnew, min_new_tokens=maxnew,
+        do_sample=False, seed=0, subtalker_dosample=False,
+    )
+    cb.submit(_requests(2)[1])
+    for _ in cb.run():
+        pass
+    sid = cb.submit(req)
+    got = []
+    for got_sid, audio, _sr, _t in cb.run():
+        if got_sid == sid:
+            got.append(audio)
+    have = np.concatenate(got)
+    want = solo(req)
+    assert have.shape == want.shape
+    np.testing.assert_allclose(have, want, atol=1e-4)
+
+
 def test_eos_at_chunk_boundary_still_yields_is_final(model, monkeypatch):
     """A stream whose EOS lands exactly on a chunk boundary produces a
     zero-valid final chunk; the pump must still yield an is_final terminal
