@@ -132,6 +132,7 @@ def main_continuous(args):
         def run_once(seed):
             cb = model.continuous_batcher(
                 max_slots=B, chunk_size=args.chunk,
+                first_chunk_size=args.first_chunk or None,
                 max_new_tokens=args.frames, seed=seed,
             )
             t0 = time.perf_counter()
@@ -173,6 +174,7 @@ def main_continuous(args):
         print(f"B={B}: {rows[-1]}", file=sys.stderr, flush=True)
 
     out = {"model": args.model, "quant": args.quant, "chunk": args.chunk,
+           "first_chunk": args.first_chunk or args.chunk,
            "frames": args.frames, "mode": "continuous", "rows": rows}
     save_results("multistream_continuous", out)
     print(json.dumps(out))
@@ -190,6 +192,9 @@ def main():
                     help="public-API end-to-end (decode + vocode + TTFA)")
     ap.add_argument("--continuous", action="store_true",
                     help="staggered admission via ContinuousBatcher")
+    ap.add_argument("--first-chunk", type=int, default=0,
+                    help="solo admission chunk size (continuous mode; "
+                         "0 = chunk_size)")
     ap.add_argument("--arrival-ms", type=float, default=150.0,
                     help="spacing between request arrivals (continuous mode)")
     ap.add_argument("--runs", type=int, default=3, help="timed e2e runs per B")
